@@ -1,0 +1,339 @@
+"""MAE pretraining engine: jitted SPMD train step + epoch loops.
+
+Mirrors the reference engine's surface — ``train_one_epoch`` /
+``val_one_epoch`` / ``trainer`` / ``tester`` (reference:
+engine_pretrain_mae.py:14-314) — re-designed TPU-first:
+
+* ONE jitted train step holds forward, loss, backward, per-param grad clip,
+  optimizer update, and (under a sharded batch) the gradient all-reduce — the
+  reference's DDP hooks, GradScaler, and per-step ``torch.cuda.synchronize``
+  all disappear. bfloat16 compute replaces fp16 AMP (no loss scaling needed).
+* The per-step loss all-reduce (reference: engine_pretrain_mae.py:73-74) is
+  free: the loss is already a global mean over the sharded batch.
+* Non-finite-loss hard abort is kept (reference: engine_pretrain_mae.py:76-78),
+  checked on host against the async-fetched loss.
+* rank-0-style checkpointing: ``latest_`` every epoch, ``best_`` on min val
+  loss (reference: engine_pretrain_mae.py:210-261).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from headct_foundation_tpu.models.mae import MaskedAutoencoderViT
+from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
+from headct_foundation_tpu.optim.optimizers import get_optimizer
+from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.metrics import MetricLogger
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; `tx` carries the optax chain built by get_optimizer."""
+
+
+def build_mae_model(config, dtype=jnp.bfloat16) -> MaskedAutoencoderViT:
+    """Construct the MAE from config keys (reference: main_pretrain_mae.py:103-126)."""
+    return MaskedAutoencoderViT(
+        input_size=config.MAE.INPUT_SIZE,
+        patch_size=config.MAE.PATCH_SIZE,
+        mask_ratio=config.MAE.MASK_RATIO,
+        in_chans=config.MAE.IN_CHANS,
+        dropout_rate=config.MAE.DROPOUT_RATE,
+        spatial_dims=config.MAE.SPATIAL_DIMS,
+        pos_embed=config.MAE.POS_EMBED,
+        encoder_depth=config.MAE.ENCODER_DEPTH,
+        encoder_embed_dim=config.MAE.ENCODER_EMBED_DIM,
+        encoder_mlp_dim=config.MAE.ENCODER_MLP_DIM,
+        encoder_num_heads=config.MAE.ENCODER_NUM_HEADS,
+        decoder_depth=config.MAE.DECODER_DEPTH,
+        decoder_embed_dim=config.MAE.DECODER_EMBED_DIM,
+        decoder_mlp_dim=config.MAE.DECODER_MLP_DIM,
+        decoder_num_heads=config.MAE.DECODER_NUM_HEADS,
+        norm_pix_loss=config.MAE.NORM_PIX_LOSS,
+        use_bias=config.MAE.USE_BIAS,
+        norm_layer=config.MAE.NORM_LAYER,
+        remat=config.PARALLEL.REMAT,
+        dtype=dtype,
+    )
+
+
+def mae_trainable_mask(params: Any, pos_embed: str) -> Any:
+    """False for frozen leaves: sincos position embeddings are fixed buffers
+    in the reference (requires_grad=False, src/utils/pos_embed.py:82-83)."""
+
+    def _mask(path, leaf):
+        if pos_embed != "sincos":
+            return True
+        names = {str(getattr(k, "key", k)) for k in path}
+        return not ({"position_embeddings", "decoder_pos_embed"} & names)
+
+    return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def create_train_state(
+    config,
+    mesh: Mesh,
+    rng: jax.Array,
+    total_steps: int,
+    num_warmup_steps: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[TrainState, Any, Callable]:
+    """Initialize model + optimizer with parameters sharded per mesh rules.
+
+    Returns (state, state_shardings, lr_schedule).
+    """
+    model = build_mae_model(config, dtype=dtype)
+    roi = config.MODEL.ROI
+    sample = jnp.zeros((1, config.MAE.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
+
+    lr_schedule = get_lr_schedule(
+        config, config.TRAIN.BASE_LR, num_warmup_steps, total_steps, config.TRAIN.MIN_LR
+    )
+
+    def _init(rng):
+        variables = model.init(
+            {"params": rng, "mask": jax.random.fold_in(rng, 1)}, sample
+        )
+        return variables["params"]
+
+    params_shape = jax.eval_shape(_init, rng)
+    p_shardings = param_shardings(params_shape, mesh)
+    params = jax.jit(_init, out_shardings=p_shardings)(rng)
+
+    mask = mae_trainable_mask(params, config.MAE.POS_EMBED)
+    tx = get_optimizer(
+        config,
+        lr_schedule,
+        grad_clip=config.TRAIN.GRAD_CLIP or None,
+        trainable_mask=mask,
+    )
+
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state_shardings = jax.tree.map(lambda x: NamedSharding(mesh, P()), state)
+    state_shardings = state_shardings.replace(
+        params=p_shardings,
+        opt_state=_opt_state_shardings(tx, params_shape, p_shardings, mesh),
+    )
+    # Re-place state according to shardings (opt_state moments follow params).
+    state = jax.device_put(state, state_shardings)
+    return state, state_shardings, lr_schedule
+
+
+def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
+    """Shard optimizer moments like their parameters; scalars replicated.
+
+    optax states embed parameter-shaped pytrees (e.g. Adam's mu/nu), so a
+    moment leaf's path ends with the full path of its parameter; we match on
+    that suffix to reuse the parameter's sharding.
+    """
+    opt_shape = jax.eval_shape(tx.init, params_shape)
+    flat_params = jax.tree_util.tree_flatten_with_path(p_shardings)[0]
+
+    def _assign(path, leaf):
+        del leaf
+        for p_path, sharding in flat_params:
+            if len(path) >= len(p_path) and tuple(path[-len(p_path):]) == tuple(p_path):
+                return sharding
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(_assign, opt_shape)
+
+
+def make_train_step(mesh: Mesh):
+    """Build the jitted MAE train step.
+
+    step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
+    sharded over the data axis; rng is a per-host replicated key folded with
+    the global step for reproducible, decorrelated masking.
+    """
+
+    def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            loss, _, _ = state.apply_fn(
+                {"params": params},
+                batch,
+                deterministic=False,
+                rngs={"mask": mask_rng, "dropout": drop_rng},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_sharding(mesh), None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(mesh: Mesh):
+    def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        loss, _, _ = state.apply_fn(
+            {"params": state.params}, batch, deterministic=True,
+            rngs={"mask": rng},
+        )
+        return {"loss": loss}
+
+    return jax.jit(eval_step, in_shardings=(None, batch_sharding(mesh), None))
+
+
+def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
+    arr = np.asarray(batch, dtype=np.float32).astype(dtype)
+    return jax.device_put(arr, batch_sharding(mesh))
+
+
+def train_one_epoch(
+    config,
+    state: TrainState,
+    train_step,
+    loader: Iterable,
+    mesh: Mesh,
+    rng: jax.Array,
+    lr_schedule,
+    epoch: int,
+    max_epoch: int,
+    logger=None,
+    wandb_run=None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    metric_logger = MetricLogger(logger=logger)
+    n_batches = len(loader) if hasattr(loader, "__len__") else None
+    pending = None  # (loss_device, step_idx) — overlap host logging with device work
+
+    for idx, batch in enumerate(loader):
+        data = _to_device_batch(batch, mesh)
+        state, metrics = train_step(state, data, rng)
+
+        if pending is not None:
+            _log_step(pending, config, metric_logger, lr_schedule, epoch,
+                      max_epoch, n_batches, logger, wandb_run)
+        pending = (metrics["loss"], idx)
+
+    if pending is not None:
+        _log_step(pending, config, metric_logger, lr_schedule, epoch, max_epoch,
+                  n_batches, logger, wandb_run)
+    return state, metric_logger.averages()
+
+
+def _log_step(pending, config, metric_logger, lr_schedule, epoch, max_epoch,
+              n_batches, logger, wandb_run):
+    loss_dev, idx = pending
+    loss = float(jax.device_get(loss_dev))
+    if not math.isfinite(loss):
+        if logger:
+            logger.info(f"Loss is {loss}, stopping training")
+        sys.exit(1)
+    step_global = (n_batches or 0) * epoch + idx
+    lr = float(lr_schedule(step_global))
+    metric_logger.update(loss=loss, lr=lr)
+    if logger:
+        total = n_batches if n_batches is not None else "?"
+        logger.info(
+            f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{total}]  Loss: {loss:.4f}"
+        )
+    if wandb_run is not None:
+        wandb_run.log({"Training Loss": loss, "Training lr": lr})
+
+
+def val_one_epoch(
+    config,
+    state: TrainState,
+    eval_step,
+    loader: Iterable,
+    mesh: Mesh,
+    rng: jax.Array,
+    epoch: int,
+    max_epoch: int,
+    logger=None,
+) -> Dict[str, float]:
+    metric_logger = MetricLogger(logger=logger)
+    for idx, batch in enumerate(loader):
+        data = _to_device_batch(batch, mesh)
+        metrics = eval_step(state, data, jax.random.fold_in(rng, idx))
+        loss = float(jax.device_get(metrics["loss"]))
+        metric_logger.update(loss=loss)
+        if logger:
+            logger.info(f"Val Epoch {epoch + 1}/{max_epoch} [{idx + 1}]  Loss: {loss:.4f}")
+    return metric_logger.averages()
+
+
+def trainer(
+    config,
+    state: TrainState,
+    train_step,
+    eval_step,
+    train_loader,
+    val_loader,
+    mesh: Mesh,
+    rng: jax.Array,
+    lr_schedule,
+    max_epochs: int,
+    val_every: int,
+    logger=None,
+    start_epoch: int = 0,
+    wandb_run=None,
+    checkpoint_extra: Optional[Dict[str, Any]] = None,
+) -> Tuple[TrainState, float]:
+    """Epoch loop with latest/best checkpointing (reference: engine_pretrain_mae.py:149-265)."""
+    best_loss = float("inf")
+    save_name = config.MODEL.SAVE_NAME
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        state, train_stats = train_one_epoch(
+            config, state, train_step, train_loader, mesh, rng, lr_schedule,
+            epoch, max_epochs, logger=logger, wandb_run=wandb_run,
+        )
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s  "
+                f"train loss {train_stats.get('loss', float('nan')):.4f}"
+            )
+        if jax.process_index() == 0:
+            save_checkpoint(
+                state, epoch, best_loss, config.MODEL.DIR, f"latest_{save_name}",
+                logger=logger, extra=checkpoint_extra,
+            )
+        if (epoch + 1) % val_every == 0 and val_loader is not None:
+            val_stats = val_one_epoch(
+                config, state, eval_step, val_loader, mesh, rng, epoch,
+                max_epochs, logger=logger,
+            )
+            val_loss = val_stats.get("loss", float("inf"))
+            if wandb_run is not None:
+                wandb_run.log({"Validation Loss": val_loss})
+            if val_loss < best_loss:
+                best_loss = val_loss
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        state, epoch, best_loss, config.MODEL.DIR,
+                        f"best_{save_name}", logger=logger, extra=checkpoint_extra,
+                    )
+    return state, best_loss
+
+
+def tester(
+    config, state, eval_step, test_loader, mesh, rng, logger=None, wandb_run=None
+) -> Dict[str, float]:
+    stats = val_one_epoch(
+        config, state, eval_step, test_loader, mesh, rng, epoch=0, max_epoch=1,
+        logger=logger,
+    )
+    if wandb_run is not None and "loss" in stats:
+        wandb_run.log({"Test Loss": stats["loss"]})
+    return stats

@@ -1,0 +1,175 @@
+"""Transformer blocks: fused-QKV self-attention, LoRA, pre-norm block, MLP.
+
+Functional parity targets (formulas, not code) in the reference:
+* ``LoraLinear`` — low-rank delta B@A with B zero-init
+  (reference: src/models/attentionblock.py:6-22, rank 128 on q and v :45-47).
+* ``SelfAttention`` — fused qkv projection, SDPA, output projection
+  (reference: src/models/attentionblock.py:24-66).
+* ``AttentionBlock`` — pre-norm residual x + attn(norm1(x)); x + mlp(norm2(x))
+  (reference: src/models/attentionblock.py:96-99).
+* MLP — Linear/GELU/Dropout/Linear/Dropout as MONAI ``MLPBlock`` (biases on).
+
+TPU notes: the qkv projection is a single [T, C] x [C, 3C] matmul feeding the
+MXU; attention runs through ops.attention (XLA fused attention by default,
+Pallas flash attention optional). All dense compute can run in bfloat16 with
+fp32 params (``dtype`` vs ``param_dtype``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from headct_foundation_tpu.models.layers import make_norm, trunc_normal_init
+from headct_foundation_tpu.ops.attention import dot_product_attention
+
+
+class LoraLinear(nn.Module):
+    """Low-rank adapter producing ``x @ (B @ A)^T`` with B zero-initialized."""
+
+    in_features: int
+    out_features: int
+    r: int = 8
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Names mirror the reference parameters lora_matrix_B [out, r] and
+        # lora_matrix_A [r, in] so torch checkpoints map 1:1.
+        b = self.param(
+            "lora_matrix_B", nn.initializers.zeros, (self.out_features, self.r), self.param_dtype
+        )
+        a = self.param(
+            "lora_matrix_A",
+            nn.initializers.normal(stddev=1.0),
+            (self.r, self.in_features),
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        # (x @ A^T) @ B^T — two skinny matmuls instead of materializing B@A.
+        return (x @ a.astype(self.dtype).T) @ b.astype(self.dtype).T
+
+
+class SelfAttention(nn.Module):
+    hidden_size: int
+    num_heads: int = 12
+    dropout: float = 0.0
+    qkv_bias: bool = False
+    lora: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+
+        qkv = nn.Dense(
+            3 * C,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+
+        if self.lora:
+            lq = LoraLinear(C, C, r=128, dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="lora_q")(x)
+            lv = LoraLinear(C, C, r=128, dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="lora_v")(x)
+            # Reference adds the LoRA delta after the head split
+            # (src/models/attentionblock.py:57-59).
+            q = q + lq.reshape(B, N, H, D)
+            v = v + lv.reshape(B, N, H, D)
+
+        y = dot_product_attention(q, k, v)  # [B, N, H, D]
+        y = y.reshape(B, N, C)
+
+        y = nn.Dense(
+            C,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="proj",
+        )(y)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic=deterministic)
+        return y
+
+
+class MLPBlock(nn.Module):
+    """Linear -> GELU -> Dropout -> Linear -> Dropout (MONAI MLPBlock, 'vit' mode)."""
+
+    hidden_size: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(
+            self.mlp_dim,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="linear1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(rate=self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.hidden_size,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="linear2",
+        )(x)
+        x = nn.Dropout(rate=self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class AttentionBlock(nn.Module):
+    """Pre-norm transformer block: x + attn(norm(x)); x + mlp(norm(x))."""
+
+    hidden_size: int
+    mlp_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    qkv_bias: bool = False
+    lora: bool = False
+    norm_layer: str = "layernorm"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        attn_in = make_norm(self.norm_layer, self.hidden_size, name="att_norm")(x)
+        x = x + SelfAttention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            dropout=self.dropout_rate,
+            qkv_bias=self.qkv_bias,
+            lora=self.lora,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(attn_in, deterministic=deterministic)
+        mlp_in = make_norm(self.norm_layer, self.hidden_size, name="ffn_norm")(x)
+        x = x + MLPBlock(
+            hidden_size=self.hidden_size,
+            mlp_dim=self.mlp_dim,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(mlp_in, deterministic=deterministic)
+        return x

@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused Lion optimizer update.
+
+TPU-native counterpart of the reference's Triton kernel (reference:
+src/utils/triton.py:26-107), which fuses the decoupled weight decay, sign
+update, and EMA refresh of the Lion optimizer into one elementwise pass.
+Contract matches the reference ``update_fn`` (reference:
+src/utils/optimizers.py:267-279):
+
+    delta = -lr*wd*p - lr * sign(b1*m + (1-b1)*g)
+    m_new = b2*m + (1-b2)*g
+
+One kernel invocation reads p/g/m once from HBM and writes delta/m_new once —
+the minimum possible HBM traffic (5 arrays) for this update, where a naive
+unfused chain would round-trip intermediates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_BLOCK_ROWS = 512  # 512 x 128 fp32 = 256 KiB per buffer; 5 buffers ~ 1.25 MiB VMEM
+
+
+def _lion_kernel(scalars_ref, p_ref, g_ref, m_ref, delta_ref, m_out_ref):
+    lr = scalars_ref[0]
+    wd = scalars_ref[1]
+    b1 = scalars_ref[2]
+    b2 = scalars_ref[3]
+    p = p_ref[:]
+    g = g_ref[:]
+    m = m_ref[:]
+    update = jnp.sign(m * b1 + (1.0 - b1) * g)
+    delta_ref[:] = -lr * wd * p - lr * update
+    m_out_ref[:] = m * b2 + (1.0 - b2) * g
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2"))
+def lion_update_leaf(
+    p: jnp.ndarray,
+    g: jnp.ndarray,
+    m: jnp.ndarray,
+    lr: jnp.ndarray,
+    wd: jnp.ndarray,
+    b1: float,
+    b2: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused Lion update for one parameter tensor.
+
+    Returns (delta in p.dtype, new momentum in fp32).
+    """
+    orig_shape = p.shape
+    orig_dtype = p.dtype
+    n = p.size
+
+    p32 = p.reshape(-1).astype(jnp.float32)
+    g32 = g.reshape(-1).astype(jnp.float32)
+    m32 = m.reshape(-1).astype(jnp.float32)
+
+    block = _BLOCK_ROWS * _LANES
+    padded = ((n + block - 1) // block) * block
+    if padded != n:
+        pad = padded - n
+        p32 = jnp.pad(p32, (0, pad))
+        g32 = jnp.pad(g32, (0, pad))
+        m32 = jnp.pad(m32, (0, pad))
+
+    rows = padded // _LANES
+    p2 = p32.reshape(rows, _LANES)
+    g2 = g32.reshape(rows, _LANES)
+    m2 = m32.reshape(rows, _LANES)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(lr, jnp.float32),
+            jnp.asarray(wd, jnp.float32),
+            jnp.asarray(b1, jnp.float32),
+            jnp.asarray(b2, jnp.float32),
+        ]
+    )
+
+    grid = rows // _BLOCK_ROWS
+    spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    delta, m_new = pl.pallas_call(
+        _lion_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec,
+            spec,
+            spec,
+        ],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        ),
+    )(scalars, p2, g2, m2)
+
+    delta = delta.reshape(-1)[:n].reshape(orig_shape).astype(orig_dtype)
+    m_new = m_new.reshape(-1)[:n].reshape(orig_shape)
+    return delta, m_new

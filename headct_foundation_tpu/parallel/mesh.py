@@ -1,0 +1,123 @@
+"""Device mesh construction and sharding rules.
+
+The reference's parallelism story is single-node DDP over NCCL (reference:
+main_pretrain_mae.py:139, src/utils/misc.py:325-344). The TPU-native
+equivalent is SPMD over a ``jax.sharding.Mesh``: one Python program, the batch
+sharded over the 'data' (and 'fsdp') axes, parameters either replicated
+(pure DP, like DDP) or sharded over 'fsdp' (ZeRO-3 style) and 'tensor'
+(Megatron-style on the attention/MLP contracting dims). Gradients are averaged
+by XLA-inserted reduce-scatter/all-reduce collectives over ICI — there is no
+hand-written communication in the train step.
+
+Sharding is annotation-driven (GSPMD): `param_shardings` applies rule-based
+PartitionSpecs to a parameter pytree; everything not matched is replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'fsdp', 'tensor') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def mesh_from_config(config, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    return make_mesh(
+        data=config.PARALLEL.DATA,
+        fsdp=config.PARALLEL.FSDP,
+        tensor=config.PARALLEL.TENSOR,
+        devices=devices,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batches shard over both data and fsdp axes (fsdp also consumes batch)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Rules: (regex over 'path/to/param', PartitionSpec). First match wins.
+# Tensor-parallel axes follow the Megatron pattern: column-parallel on the
+# qkv/mlp-in projections, row-parallel on the output projections. The fsdp
+# axis shards the remaining (non-tensor) large dimension, ZeRO-3 style.
+_DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*attn/qkv/kernel$", P("fsdp", "tensor")),
+    (r".*attn/proj/kernel$", P("tensor", "fsdp")),
+    (r".*mlp/linear1/kernel$", P("fsdp", "tensor")),
+    (r".*mlp/linear2/kernel$", P("tensor", "fsdp")),
+    (r".*patch_embedding/kernel$", P(None, "tensor")),
+    (r".*decoder_embed/kernel$", P(None, "tensor")),
+    (r".*decoder_pred/kernel$", P("tensor", None)),
+    (r".*last_layer/weight_v$", P("tensor", None)),  # 65536-proto DINO head
+    (r".*mlp_\d+/kernel$", P(None, "tensor")),       # DINO head MLP
+    (r".*position_embeddings$", P()),
+    (r".*kernel$", P(None, "fsdp")),
+)
+
+
+def _spec_for(path: str, rules: Sequence[Tuple[str, P]]) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _clamp_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Drop sharding on axes the tensor can't be evenly divided along."""
+    if len(spec) > len(shape):
+        return P()
+    out = []
+    for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis] if isinstance(axis, str) else int(
+            np.prod([mesh.shape[a] for a in axis])
+        )
+        out.append(axis if dim % size == 0 and dim >= size else None)
+    return P(*out)
+
+
+def param_shardings(
+    params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = _DEFAULT_RULES
+) -> Any:
+    """Map a parameter pytree to NamedShardings by path-based rules."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    shardings = []
+    for path, leaf in flat:
+        path_str = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        spec = _spec_for(path_str, rules)
+        spec = _clamp_spec(spec, getattr(leaf, "shape", ()), mesh)
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -1,0 +1,98 @@
+"""Checkpoint save/load for train states.
+
+The reference saves torch pickles with {epoch, best_loss, state_dict,
+momentum_model_state_dict, optimizer, scheduler} (reference:
+src/utils/misc.py:35-52). Here a checkpoint is a single file holding the same
+metadata plus numpy pytrees serialized with flax.serialization — portable,
+readable without JAX, and restorable onto any mesh (arrays are re-placed
+according to the target state's shardings at load).
+
+``utils/torch_interop.py`` handles importing the reference's actual ``.pt``
+checkpoints for weight parity.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(
+    state: Any,
+    epoch: int,
+    best_loss: float,
+    dir_add: str,
+    filename: str = "model.ckpt",
+    logger=None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    os.makedirs(dir_add, exist_ok=True)
+    path = os.path.join(dir_add, filename)
+    payload = {
+        "epoch": int(epoch),
+        "best_loss": float(best_loss),
+        "step": int(jax.device_get(state.step)),
+        "params": serialization.to_state_dict(_to_numpy_tree(state.params)),
+        "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
+    }
+    if extra:
+        payload.update(
+            {
+                k: serialization.to_state_dict(_to_numpy_tree(v))
+                if not isinstance(v, (int, float, str))
+                else v
+                for k, v in extra.items()
+            }
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    if logger:
+        logger.info(f"Saving checkpoint {path}")
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_state(
+    state: Any, payload: Dict[str, Any], restore_opt: bool = True
+) -> Tuple[Any, int, float]:
+    """Restore a TrainState from a checkpoint payload.
+
+    Arrays are device_put with the template state's shardings preserved
+    (jax re-places them lazily on first use under jit in_shardings).
+    Returns (state, epoch, best_loss).
+    """
+    params = serialization.from_state_dict(
+        jax.tree.map(np.asarray, jax.device_get(state.params)), payload["params"]
+    )
+    new_state = state.replace(
+        params=jax.tree.map(lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                            state.params, params),
+        step=payload.get("step", 0),
+    )
+    if restore_opt and "opt_state" in payload:
+        opt_state = serialization.from_state_dict(
+            jax.device_get(state.opt_state), payload["opt_state"]
+        )
+        new_state = new_state.replace(
+            opt_state=jax.tree.map(
+                lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                state.opt_state,
+                opt_state,
+            )
+        )
+    return new_state, payload.get("epoch", 0), payload.get("best_loss", float("inf"))

@@ -1,0 +1,186 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from headct_foundation_tpu.models import (
+    AttentionBlock,
+    AttentionClassifier,
+    DINOHead,
+    LinearClassifier,
+    MaskedAutoencoderViT,
+    PatchEmbeddingBlock,
+    RMSNorm,
+    ViT,
+    patchify3d,
+    unpatchify3d,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_patchify_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 24, 24, 24).astype(np.float32))
+    p = patchify3d(x, (12, 12, 12))
+    assert p.shape == (2, 8, 12 * 12 * 12 * 3)
+    x2 = unpatchify3d(p, (12, 12, 12), (3, 24, 24, 24))
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+
+def test_patchify_matches_torch_reference_order():
+    """Cross-check token/feature ordering against the documented reference
+    permute (mae.py:167-168): reshape(B,C,gh,ph,gw,pw,gd,pd).permute(0,2,4,6,3,5,7,1)."""
+    x = np.random.RandomState(1).randn(1, 2, 6, 6, 6).astype(np.float32)
+    t = torch.from_numpy(x)
+    B, C = 1, 2
+    gh = gw = gd = 2
+    ph = pw = pd = 3
+    ref = (
+        t.reshape(B, C, gh, ph, gw, pw, gd, pd)
+        .permute(0, 2, 4, 6, 3, 5, 7, 1)
+        .reshape(B, gh * gw * gd, ph * pw * pd * C)
+        .numpy()
+    )
+    ours = np.asarray(patchify3d(jnp.asarray(x), (3, 3, 3)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_patch_embed_equals_conv3d():
+    """The reshape+matmul embed must equal a stride=kernel Conv3d."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 24, 24, 24).astype(np.float32)
+    conv_w = rng.randn(16, 3, 12, 12, 12).astype(np.float32) * 0.02
+    conv_b = rng.randn(16).astype(np.float32)
+
+    # torch conv path (flatten(2).transpose like reference patch_embedding.py:152)
+    t = torch.nn.functional.conv3d(torch.from_numpy(x), torch.from_numpy(conv_w),
+                                   torch.from_numpy(conv_b), stride=12)
+    ref = t.flatten(2).transpose(-1, -2).numpy()  # [B, L, 16]
+
+    m = PatchEmbeddingBlock(
+        img_size=(24, 24, 24), patch_size=(12, 12, 12), in_channels=3,
+        hidden_size=16, pos_embed="none",
+    )
+    params = m.init(KEY, jnp.asarray(x))["params"]
+    # convert conv weight [O,C,ph,pw,pd] -> matmul layout [(ph,pw,pd,C), O]
+    kernel = conv_w.transpose(2, 3, 4, 1, 0).reshape(-1, 16)
+    params = dict(params)
+    params["kernel"] = jnp.asarray(kernel)
+    params["bias"] = jnp.asarray(conv_b)
+    out = m.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
+
+
+def test_rmsnorm_matches_torch_formula():
+    x = np.random.RandomState(3).randn(4, 8).astype(np.float32)
+    m = RMSNorm(dim=8)
+    params = m.init(KEY, jnp.asarray(x))
+    out = np.asarray(m.apply(params, jnp.asarray(x)))
+    t = torch.from_numpy(x)
+    ref = (t * torch.rsqrt(t.pow(2).mean(-1, keepdim=True) + 1e-6)).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_attention_block_shapes():
+    m = AttentionBlock(hidden_size=64, mlp_dim=128, num_heads=4)
+    x = jnp.zeros((2, 10, 64))
+    params = m.init(KEY, x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 10, 64)
+
+
+@pytest.mark.parametrize("registers", [0, 4])
+def test_vit_forward(registers):
+    m = ViT(
+        in_chans=3, img_size=24, patch_size=12, hidden_size=48, mlp_dim=96,
+        num_layers=2, num_heads=4, pos_embed="sincos",
+        num_register_tokens=registers, qkv_bias=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 24, 24, 24), dtype=jnp.float32)
+    params = m.init(KEY, x)
+    out, hidden = m.apply(params, x)
+    assert out.shape == (2, 1 + registers + 8, 48)
+    assert len(hidden) == 2
+    assert hidden[0].shape == out.shape
+
+
+def test_vit_dynamic_resolution():
+    m = ViT(in_chans=1, img_size=24, patch_size=12, hidden_size=48, mlp_dim=96,
+            num_layers=1, num_heads=4, pos_embed="sincos")
+    x24 = jnp.zeros((1, 1, 24, 24, 24))
+    params = m.init(KEY, x24)
+    x36 = jnp.zeros((1, 1, 36, 36, 36))
+    out, _ = m.apply(params, x36)
+    assert out.shape == (1, 1 + 27, 48)
+
+
+def test_mae_forward_and_loss_finite():
+    m = MaskedAutoencoderViT(
+        input_size=24, patch_size=12, mask_ratio=0.75, in_chans=3,
+        pos_embed="sincos", encoder_depth=2, encoder_embed_dim=48,
+        encoder_mlp_dim=96, encoder_num_heads=4, decoder_depth=1,
+        decoder_embed_dim=36, decoder_mlp_dim=72, decoder_num_heads=4,
+        use_bias=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 24, 24, 24), dtype=jnp.float32)
+    params = m.init({"params": KEY, "mask": jax.random.PRNGKey(1)}, x)
+    loss, _, _ = m.apply(params, x, rngs={"mask": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss))
+
+
+def test_mae_loss_only_masked_patches():
+    """If pred == target everywhere, loss is 0; if pred differs only on kept
+    (unmasked) patches, loss stays 0."""
+    m = MaskedAutoencoderViT(
+        input_size=24, patch_size=12, mask_ratio=0.5, in_chans=1,
+        pos_embed="sincos", encoder_depth=1, encoder_embed_dim=48,
+        encoder_mlp_dim=96, encoder_num_heads=4, decoder_depth=1,
+        decoder_embed_dim=36, decoder_mlp_dim=72, decoder_num_heads=4,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 24, 24, 24), dtype=jnp.float32)
+    variables = m.init({"params": KEY, "mask": jax.random.PRNGKey(1)}, x)
+
+    target = m.apply(variables, x, method=m.patchify)
+    mask = jnp.zeros((1, 8))
+    mask = mask.at[0, :4].set(1.0)
+    loss_exact = m.apply(variables, x, target, mask, method=m.forward_loss)
+    assert float(loss_exact) == 0.0
+    # perturb an unmasked patch -> still zero
+    pred = target.at[0, 5].add(10.0)
+    loss_kept = m.apply(variables, x, pred, mask, method=m.forward_loss)
+    assert float(loss_kept) == 0.0
+    # perturb a masked patch -> positive
+    pred = target.at[0, 0].add(10.0)
+    loss_masked = m.apply(variables, x, pred, mask, method=m.forward_loss)
+    assert float(loss_masked) > 0.0
+
+
+def test_dino_head_output():
+    m = DINOHead(in_dim=32, out_dim=128, nlayers=3, hidden_dim=64, bottleneck_dim=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32), dtype=jnp.float32)
+    params = m.init(KEY, x)
+    out = m.apply(params, x)
+    assert out.shape == (4, 128)
+    # weight-normalized last layer with g=1: logits are cosine similarities
+    # scaled by ||bottleneck feature|| = 1, so bounded by 1.
+    assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-5
+
+
+def test_linear_classifier():
+    m = LinearClassifier(dim=16, num_classes=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 16), dtype=jnp.float32)
+    variables = m.init(KEY, x)
+    out, updates = m.apply(variables, x, use_running_average=False,
+                           mutable=["batch_stats"])
+    assert out.shape == (8, 2)
+    out_eval = m.apply(variables, x, use_running_average=True)
+    assert out_eval.shape == (8, 2)
+
+
+def test_attention_classifier():
+    m = AttentionClassifier(dim=24, num_classes=2, num_heads=4, num_queries=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 10, 24), dtype=jnp.float32)
+    variables = m.init(KEY, x)
+    out, _ = m.apply(variables, x, use_running_average=False, mutable=["batch_stats"])
+    assert out.shape == (3, 2)
