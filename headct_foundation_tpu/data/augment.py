@@ -1,0 +1,263 @@
+"""Device-side (jit-friendly) data augmentation.
+
+The reference augments per item on CPU dataloader workers with MONAI
+transforms (reference: src/data/transforms.py:39-105, 181-320); that CPU work
+is its DINO hot-loop bottleneck (SURVEY.md §3.2). Here augmentation is
+batched jax running on the TPU inside (or alongside) the jitted step:
+
+* ``mae_augment`` — RandFlip x3 axes (p=0.1) + RandShiftIntensity 0.1 (p=0.5)
+  (+ RandGaussianSmooth p=0.2 when ``reshape=False``), matching
+  ``mae3d_transforms`` (reference: src/data/transforms.py:181-255).
+* ``vit_augment`` — same flips/shift for downstream training
+  (reference: src/data/transforms.py:258-320).
+* ``dino_multicrop`` — the DataAugmentationDINO3D pipeline (reference:
+  src/data/transforms.py:39-105): each 96^3 volume is conceptually embedded
+  centered in a 224^3 zero canvas; global crops sample a random box of side
+  U[112, 224] per axis, local crops U[64, 112] inside the center-192 region;
+  every crop is resized to 96^3. Crop + resize are FUSED into one trilinear
+  resample with continuous box coordinates — sizes become traced scalars, so
+  there are no dynamic shapes (XLA-friendly), and the zero canvas is never
+  materialized (out-of-volume samples read as 0).
+
+All randomness is explicit (PRNG keys), per-sample decorrelated.
+Volumes are [B, C, H, W, D] float arrays in [0, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+CANVAS = 224  # DINO pad/crop canvas (reference: transforms.py:73)
+LOCAL_CANVAS = 192  # center crop for local crops (reference: transforms.py:94)
+
+
+# ---------------------------------------------------------------------------
+# Elementwise augmentations
+# ---------------------------------------------------------------------------
+
+def rand_flip(rng: jax.Array, x: jnp.ndarray, prob: float, axis: int) -> jnp.ndarray:
+    """Per-sample random flip along one spatial axis (1-indexed after C)."""
+    B = x.shape[0]
+    do = jax.random.bernoulli(rng, prob, (B,) + (1,) * (x.ndim - 1))
+    return jnp.where(do, jnp.flip(x, axis=axis + 1), x)
+
+
+def rand_shift_intensity(
+    rng: jax.Array, x: jnp.ndarray, offsets: float, prob: float
+) -> jnp.ndarray:
+    """Per-sample additive intensity shift ~ U(-offsets, offsets), applied w.p. prob."""
+    B = x.shape[0]
+    k1, k2 = jax.random.split(rng)
+    shift = jax.random.uniform(
+        k1, (B,) + (1,) * (x.ndim - 1), minval=-offsets, maxval=offsets
+    )
+    do = jax.random.bernoulli(k2, prob, (B,) + (1,) * (x.ndim - 1))
+    return jnp.where(do, x + shift.astype(x.dtype), x)
+
+
+def _gaussian_kernel(sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Normalized 1D Gaussian taps for a traced sigma (static radius)."""
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * jnp.square(t / jnp.maximum(sigma, 1e-3)))
+    return k / jnp.sum(k)
+
+
+def _blur_axis(v: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Separable 1D convolution of a single sample [C, H, W, D] along axis."""
+    moved = jnp.moveaxis(v, axis, -1)
+    shape = moved.shape
+    flat = moved.reshape(-1, 1, shape[-1])  # [N=C*rest, 1, L]
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel[None, None, :].astype(flat.dtype),
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=1,
+    )
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
+def rand_gaussian_smooth(
+    rng: jax.Array,
+    x: jnp.ndarray,
+    sigma_range: Tuple[float, float] = (0.5, 1.0),
+    prob: float = 0.2,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Per-sample Gaussian blur with per-axis sigma ~ U(sigma_range), w.p. prob."""
+    B = x.shape[0]
+    k_sig, k_do = jax.random.split(rng)
+    sigmas = jax.random.uniform(
+        k_sig, (B, 3), minval=sigma_range[0], maxval=sigma_range[1]
+    )
+    do = jax.random.bernoulli(k_do, prob, (B,))
+
+    def _one(v, sig, d):
+        out = v
+        for ax in range(3):
+            out = _blur_axis(out, _gaussian_kernel(sig[ax], radius), axis=1 + ax)
+        return jnp.where(d, out, v)
+
+    return jax.vmap(_one)(x, sigmas, do)
+
+
+def rand_adjust_contrast(
+    rng: jax.Array, x: jnp.ndarray, gamma_range: Tuple[float, float] = (0.2, 1.0),
+    prob: float = 0.2,
+) -> jnp.ndarray:
+    """MONAI RandAdjustContrast: gamma correction on the per-sample intensity
+    range: ((x - min) / range) ** gamma * range + min, applied w.p. prob."""
+    B = x.shape[0]
+    k_g, k_do = jax.random.split(rng)
+    gamma = jax.random.uniform(
+        k_g, (B,) + (1,) * (x.ndim - 1), minval=gamma_range[0], maxval=gamma_range[1]
+    )
+    do = jax.random.bernoulli(k_do, prob, (B,) + (1,) * (x.ndim - 1))
+    reduce_axes = tuple(range(1, x.ndim))
+    mn = jnp.min(x, axis=reduce_axes, keepdims=True)
+    mx = jnp.max(x, axis=reduce_axes, keepdims=True)
+    rng_ = jnp.maximum(mx - mn, 1e-7)
+    adj = jnp.power(jnp.clip((x - mn) / rng_, 1e-7, 1.0), gamma) * rng_ + mn
+    return jnp.where(do, adj.astype(x.dtype), x)
+
+
+# ---------------------------------------------------------------------------
+# Fused crop + resize (continuous box, trilinear, zero padding)
+# ---------------------------------------------------------------------------
+
+def crop_and_resize(
+    x: jnp.ndarray,
+    start: jnp.ndarray,
+    size: jnp.ndarray,
+    out_shape: Sequence[int],
+) -> jnp.ndarray:
+    """Trilinearly resample a per-sample box to a fixed output shape.
+
+    Args:
+      x: [B, C, H, W, D] volumes.
+      start: [B, 3] box start in voxel coordinates (may be negative — reads
+        outside the volume return 0, emulating the zero padding canvas).
+      size: [B, 3] box size in voxels (traced floats; no dynamic shapes).
+      out_shape: static output spatial shape.
+
+    Half-pixel-centers convention (torch align_corners=False):
+      in_coord = start + (i + 0.5) * size / out - 0.5
+    """
+    out_shape = tuple(out_shape)
+
+    def _sample_one(v: jnp.ndarray, st: jnp.ndarray, sz: jnp.ndarray) -> jnp.ndarray:
+        coords = []
+        for ax, o in enumerate(out_shape):
+            i = jnp.arange(o, dtype=jnp.float32)
+            c = st[ax] + (i + 0.5) * (sz[ax] / o) - 0.5
+            coords.append(c)
+        grid = jnp.meshgrid(*coords, indexing="ij")  # 3 x out_shape
+        grid = jnp.stack(grid, axis=0)
+
+        def _per_channel(ch: jnp.ndarray) -> jnp.ndarray:
+            return jax.scipy.ndimage.map_coordinates(
+                ch, list(grid), order=1, mode="constant", cval=0.0
+            )
+
+        return jax.vmap(_per_channel)(v)
+
+    return jax.vmap(_sample_one)(x, start, size)
+
+
+def _rand_box(
+    rng: jax.Array,
+    batch: int,
+    min_size: float,
+    max_size: float,
+    canvas_lo: float,
+    canvas_hi: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample per-sample, per-axis box (start, size) with size ~ U[min, max]
+    and position uniform over valid placements in [canvas_lo, canvas_hi)."""
+    k_size, k_pos = jax.random.split(rng)
+    size = jax.random.uniform(k_size, (batch, 3), minval=min_size, maxval=max_size)
+    u = jax.random.uniform(k_pos, (batch, 3))
+    start = canvas_lo + u * ((canvas_hi - canvas_lo) - size)
+    return start, size
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+def mae_augment(
+    rng: jax.Array, x: jnp.ndarray, reshape: bool = True
+) -> jnp.ndarray:
+    """Train-time MAE augmentation (reference: transforms.py:193-239)."""
+    keys = jax.random.split(rng, 5)
+    x = rand_flip(keys[0], x, 0.1, axis=1)
+    x = rand_flip(keys[1], x, 0.1, axis=2)
+    x = rand_flip(keys[2], x, 0.1, axis=3)
+    x = rand_shift_intensity(keys[3], x, 0.1, 0.5)
+    if not reshape:
+        x = rand_gaussian_smooth(keys[4], x, (0.5, 1.0), 0.2)
+    return x
+
+
+vit_augment = functools.partial(mae_augment, reshape=True)
+
+
+def _dino_flip_and_noise(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    """flips p=0.2 x3 + shift 0.2 p=0.5 (reference: transforms.py:58-63)."""
+    keys = jax.random.split(rng, 4)
+    x = rand_flip(keys[0], x, 0.2, axis=1)
+    x = rand_flip(keys[1], x, 0.2, axis=2)
+    x = rand_flip(keys[2], x, 0.2, axis=3)
+    x = rand_shift_intensity(keys[3], x, 0.2, 0.5)
+    return x
+
+
+def dino_multicrop(
+    rng: jax.Array,
+    x: jnp.ndarray,
+    final_size: Sequence[int] = (96, 96, 96),
+    global_crop_size: int = 112,
+    local_crop_size: int = 64,
+    local_crops_number: int = 2,
+) -> List[jnp.ndarray]:
+    """2 global + N local crops per volume, each resized to ``final_size``.
+
+    The input [B, C, R, R, R] volume sits conceptually centered in a
+    CANVAS^3 zero canvas; box coordinates are sampled in canvas space and
+    shifted into volume space (offset (CANVAS - R) / 2), with out-of-volume
+    reads returning 0 — numerically identical to materializing the padded
+    canvas (reference: transforms.py:71-99) at a fraction of the bandwidth.
+    """
+    B = x.shape[0]
+    R = x.shape[-1]
+    offset = (CANVAS - R) / 2.0
+    crops: List[jnp.ndarray] = []
+    keys = jax.random.split(rng, 2 + local_crops_number)
+
+    # global crops: size U[global_crop_size, CANVAS], anywhere on the canvas
+    for gi in range(2):
+        k_box, k_aug, k_extra = jax.random.split(keys[gi], 3)
+        start, size = _rand_box(k_box, B, global_crop_size, CANVAS, 0.0, CANVAS)
+        crop = crop_and_resize(x, start - offset, size, final_size)
+        crop = _dino_flip_and_noise(k_aug, crop)
+        if gi == 0:
+            crop = rand_gaussian_smooth(k_extra, crop, (0.5, 1.0), 0.2)
+        else:
+            crop = rand_adjust_contrast(k_extra, crop, (0.2, 1.0), 0.2)
+        crops.append(crop)
+
+    # local crops: inside the center LOCAL_CANVAS region, size U[local, global]
+    lo = (CANVAS - LOCAL_CANVAS) / 2.0
+    for li in range(local_crops_number):
+        k_box, _ = jax.random.split(keys[2 + li])
+        start, size = _rand_box(
+            k_box, B, local_crop_size, global_crop_size, lo, lo + LOCAL_CANVAS
+        )
+        crops.append(crop_and_resize(x, start - offset, size, final_size))
+
+    return crops

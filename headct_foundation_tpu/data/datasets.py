@@ -1,0 +1,414 @@
+"""Datasets, disk cache, samplers, and threaded host loaders.
+
+Mirrors the reference's data layer (reference: src/data/datasets.py):
+
+* ``PretrainDataset`` / ``FinetuneDataset`` — CSV manifests, per-item
+  preprocessing through ``loading_transforms`` with a deterministic disk
+  cache of the preprocessed volume (.npy files keyed by content hash,
+  replacing MONAI ``PersistentDataset``; reference: datasets.py:42-46), and
+  the same error shielding: corrupt/unreadable scans yield placeholder
+  volumes instead of crashing (reference: datasets.py:70-96).
+* Dataset-specific label-column maps for nyu/rsna/cq500 and inverse-frequency
+  class weights (reference: datasets.py:248-253, 275-281).
+* Samplers — per-process sharding (DistributedSampler semantics),
+  weighted-random 500 samples/process/epoch for fine-tuning
+  (reference: datasets.py:298-305), and few-shot groupby-sampling
+  (reference: datasets.py:393-394).
+* ``ThreadedLoader`` — a thread-pool loader that prefetches and collates
+  batches on host while the TPU computes (replacing MONAI ThreadDataLoader).
+
+Augmentation is NOT applied here: per-step random augs run on device
+(data/augment.py) inside the engines — the TPU-native split of work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from headct_foundation_tpu.data.transforms import load_and_preprocess
+
+_PIPELINE_VERSION = "v1"  # bump to invalidate caches when preprocessing changes
+
+# Label-column maps (reference: datasets.py:248-253).
+CLASS_MAPPINGS = {
+    "nyu": {"cancer": 1, "hydrocephalus": 2, "edema": 3, "dementia": 4, "IPH": 5,
+            "IVH": 6, "SDH": 7, "EDH": 8, "SAH": 9, "ICH": 10, "fracture": 11},
+    "longisland": {"cancer": 1, "hydrocephalus": 2, "edema": 3, "dementia": 4,
+                   "IPH": 5, "IVH": 6, "SDH": 7, "EDH": 8, "SAH": 9, "ICH": 10,
+                   "fracture": 11},
+    "rsna": {"epidural": 1, "intraparenchymal": 2, "intraventricular": 3,
+             "subarachnoid": 4, "subdural": 5, "any": 6},
+    "cq500": {"ICH": 1, "IPH": 2, "IVH": 3, "SDH": 4, "EDH": 5, "SAH": 6,
+              "BleedLocation-Left": 7, "BleedLocation-Right": 8, "ChronicBleed": 9,
+              "Fracture": 10, "CalvarialFracture": 11, "OtherFracture": 12,
+              "MassEffect": 13, "MidlineShift": 14},
+}
+
+
+def get_class_mapping(dataset: str) -> Dict[str, int]:
+    if dataset not in CLASS_MAPPINGS:
+        raise ValueError(f"Unrecognized dataset: {dataset}")
+    return CLASS_MAPPINGS[dataset]
+
+
+def _process_info() -> Tuple[int, int]:
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+class DiskCache:
+    """Deterministic .npy cache of preprocessed volumes (PersistentDataset
+    equivalent). Key = hash(img_path, roi, channels, pipeline version)."""
+
+    def __init__(self, cache_dir: Optional[str], roi: Sequence[int], in_channels: int):
+        self.roi = tuple(roi)
+        self.in_channels = in_channels
+        if cache_dir:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+            except OSError:
+                cache_dir = None  # unwritable cache dir -> run uncached
+        self.cache_dir = cache_dir
+
+    def _key(self, path: str) -> str:
+        h = hashlib.sha1(
+            f"{path}|{self.roi}|{self.in_channels}|{_PIPELINE_VERSION}".encode()
+        ).hexdigest()
+        return h
+
+    def load(self, path: str) -> np.ndarray:
+        if self.cache_dir:
+            cpath = os.path.join(self.cache_dir, self._key(path) + ".npy")
+            if os.path.exists(cpath):
+                return np.load(cpath)
+        vol = load_and_preprocess(path, self.roi, self.in_channels)
+        if self.cache_dir:
+            # write-to-temp + atomic rename so concurrent workers never read
+            # a partial file (np.save appends ".npy" to bare paths, so write
+            # through an explicit handle)
+            tmp = cpath + f".tmp{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "wb") as f:
+                np.save(f, vol)
+            os.replace(tmp, cpath)
+        return vol
+
+
+class PretrainDataset:
+    """CSV manifest ('img_path' column) -> preprocessed [C, *roi] volumes.
+
+    Returns float16 numpy arrays; failures return a zero placeholder
+    (reference: datasets.py:70-96 error shielding).
+    """
+
+    def __init__(self, config: Any, csv_file: str, cache_dir: Optional[str] = None):
+        self.roi = tuple(config.MODEL.ROI)
+        self.in_channels = config.MODEL.IN_CHANS
+        self.data = pd.read_csv(csv_file)
+        self.cache = DiskCache(cache_dir, self.roi, self.in_channels)
+        self.placeholder = np.zeros((self.in_channels, *self.roi), dtype=np.float16)
+        self.error_count = 0
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, str]:
+        path = self.data["img_path"].iloc[idx]
+        try:
+            vol = self.cache.load(path)
+            if vol.shape != (self.in_channels, *self.roi):
+                print(f"Wrong shape in index {idx}: {vol.shape}")
+                return self.placeholder, str(path)
+            return vol, str(path)
+        except Exception as e:  # data-level fault tolerance
+            print(f"Error loading index {idx}: {e}")
+            self.error_count += 1
+            return self.placeholder, str(path)
+
+
+class FinetuneDataset:
+    """Labeled dataset: (image, label, fname) per item (reference:
+    datasets.py:186-233)."""
+
+    def __init__(
+        self,
+        config: Any,
+        files: Sequence[str],
+        label_dict: Dict[str, int],
+        cache_dir: Optional[str] = None,
+    ):
+        self.roi = tuple(config.MODEL.ROI)
+        self.in_channels = config.MODEL.IN_CHANS
+        self.files = list(files)
+        self.label_dict = label_dict
+        self.cache = DiskCache(cache_dir, self.roi, self.in_channels)
+        self.placeholder = np.zeros((self.in_channels, *self.roi), dtype=np.float16)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int, Optional[str]]:
+        path = self.files[idx]
+        try:
+            vol = self.cache.load(path)
+            if vol.shape != (self.in_channels, *self.roi):
+                print(f"Wrong shape in index {idx}: {vol.shape}")
+                return self.placeholder, 0, str(path)
+            return vol, int(self.label_dict[path]), str(path)
+        except Exception as e:
+            print(f"Error loading index {idx}: {e}")
+            return self.placeholder, 0, str(path)
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+def distributed_indices(
+    n: int, rank: int, world: int, shuffle: bool, seed: int = 0, epoch: int = 0
+) -> np.ndarray:
+    """DistributedSampler semantics: pad to a multiple of world, shard."""
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.RandomState(seed + epoch).permutation(n)
+    total = -(-n // world) * world
+    padded = np.concatenate([order, order[: total - n]])
+    return padded[rank::world]
+
+
+def weighted_indices(
+    weights: np.ndarray, num_samples: int, rank: int, seed: int = 0, epoch: int = 0
+) -> np.ndarray:
+    """DistributedWeightedRandomSampler semantics: each process draws
+    ``num_samples`` indices with replacement by weight (reference:
+    datasets.py:298-305, 500 samples/rank/epoch)."""
+    p = np.asarray(weights, dtype=np.float64)
+    p = p / p.sum()
+    rng = np.random.RandomState(seed + 1000 * epoch + rank)
+    return rng.choice(len(p), size=num_samples, replace=True, p=p)
+
+
+# ---------------------------------------------------------------------------
+# Threaded loader
+# ---------------------------------------------------------------------------
+
+class ThreadedLoader:
+    """Thread-pool prefetching loader yielding collated numpy batches.
+
+    Iterating yields batches; items that failed load are placeholders (never
+    None), so batch shapes are static — a TPU requirement (no recompiles).
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        indices_fn: Callable[[int], np.ndarray],
+        num_workers: int = 4,
+        drop_last: bool = False,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices_fn = indices_fn
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._len_cache: Optional[int] = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.indices_fn(self.epoch))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Any]:
+        indices = self.indices_fn(self.epoch)
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        out_q.put(_collate(items))
+            except Exception as e:  # surface loader errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=_producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _collate(items: List[Any]) -> Any:
+    """Stack tuple fields: arrays -> np.stack, ints -> array, strs -> list."""
+    first = items[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    assert isinstance(first, tuple)
+    out = []
+    for i, field in enumerate(first):
+        column = [it[i] for it in items]
+        if isinstance(field, np.ndarray):
+            out.append(np.stack(column))
+        elif isinstance(field, (int, np.integer)):
+            out.append(np.asarray(column, dtype=np.int32))
+        else:
+            out.append(column)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference: get_pretrain/finetune/fewshots_dataloaders)
+# ---------------------------------------------------------------------------
+
+def get_pretrain_dataloaders(config: Any) -> Tuple[ThreadedLoader, ThreadedLoader, ThreadedLoader]:
+    """Train/val/test pretrain loaders, sharded per process
+    (reference: datasets.py:99-183; DistributedSampler shuffle=False)."""
+    rank, world = _process_info()
+
+    def _make(csv_path: str) -> ThreadedLoader:
+        ds = PretrainDataset(config, csv_path, cache_dir=config.DATA.CACHE_DIR)
+        return ThreadedLoader(
+            ds,
+            batch_size=config.DATA.BATCH_SIZE,
+            indices_fn=lambda epoch, n=len(ds): distributed_indices(
+                n, rank, world, shuffle=False
+            ),
+            num_workers=config.DATA.NUM_WORKERS,
+        )
+
+    return (
+        _make(config.DATA.TRAIN_CSV_PATH),
+        _make(config.DATA.VAL_CSV_PATH),
+        _make(config.DATA.TEST_CSV_PATH),
+    )
+
+
+def _label_dicts(config: Any):
+    class_mapping = get_class_mapping(config.DATA.DATASET)
+    class_idx = class_mapping.get(config.TRAIN.LABEL_NAME, None)
+    df_train = pd.read_csv(config.DATA.TRAIN_CSV_PATH)
+    df_val = pd.read_csv(config.DATA.VAL_CSV_PATH)
+    df_test = pd.read_csv(config.DATA.TEST_CSV_PATH)
+    return class_idx, df_train, df_val, df_test
+
+
+def get_finetune_dataloaders(
+    config: Any,
+) -> Tuple[ThreadedLoader, ThreadedLoader, ThreadedLoader, Optional[np.ndarray]]:
+    """Fine-tune loaders with inverse-frequency weighted sampling
+    (500 samples/process/epoch) and class weights (reference:
+    datasets.py:236-361)."""
+    rank, world = _process_info()
+    class_idx, df_train, df_val, df_test = _label_dicts(config)
+    num_classes = config.DATA.NUM_CLASSES
+
+    y_train = np.asarray(df_train.iloc[:, class_idx], dtype=np.int64)
+    class_weights = None
+    if num_classes != 1:
+        counts = np.bincount(y_train, minlength=num_classes)
+        total = len(y_train)
+        class_weights = np.array(
+            [total / max(c, 1) for c in counts], dtype=np.float32
+        )
+
+    def _dict(df) -> Dict[str, int]:
+        return dict(zip(df["img_path"], df.iloc[:, class_idx]))
+
+    train_ds = FinetuneDataset(
+        config, list(df_train["img_path"]), _dict(df_train), config.DATA.CACHE_DIR
+    )
+    sample_weights = class_weights[y_train] if class_weights is not None else np.ones(len(y_train))
+    sample_size = 500  # reference: datasets.py:298
+    train_loader = ThreadedLoader(
+        train_ds,
+        batch_size=config.DATA.BATCH_SIZE,
+        indices_fn=lambda epoch: weighted_indices(
+            sample_weights, sample_size, rank, seed=config.SEED, epoch=epoch
+        ),
+        num_workers=config.DATA.NUM_WORKERS,
+    )
+
+    def _eval_loader(df) -> ThreadedLoader:
+        ds = FinetuneDataset(
+            config, list(df["img_path"]), _dict(df), config.DATA.CACHE_DIR
+        )
+        return ThreadedLoader(
+            ds,
+            batch_size=config.DATA.BATCH_SIZE,
+            indices_fn=lambda epoch, n=len(ds): distributed_indices(
+                n, rank, world, shuffle=False
+            ),
+            num_workers=config.DATA.NUM_WORKERS,
+        )
+
+    return train_loader, _eval_loader(df_val), _eval_loader(df_test), class_weights
+
+
+def get_fewshots_dataloaders(
+    config: Any,
+) -> Tuple[ThreadedLoader, ThreadedLoader, ThreadedLoader, Optional[np.ndarray]]:
+    """Few-shot loaders: k samples per class with replacement
+    (reference: datasets.py:364-477)."""
+    rank, world = _process_info()
+    class_idx, df_train, df_val, df_test = _label_dicts(config)
+
+    k = config.DATA.FEW_SHOTS
+    df_train = (
+        df_train.groupby(config.TRAIN.LABEL_NAME)
+        .sample(n=k, replace=True, random_state=config.SEED)
+        .reset_index(drop=True)
+    )
+
+    def _dict(df) -> Dict[str, int]:
+        return dict(zip(df["img_path"], df.iloc[:, class_idx]))
+
+    def _loader(df, shuffle: bool) -> ThreadedLoader:
+        ds = FinetuneDataset(
+            config, list(df["img_path"]), _dict(df), config.DATA.CACHE_DIR
+        )
+        return ThreadedLoader(
+            ds,
+            batch_size=config.DATA.BATCH_SIZE,
+            indices_fn=lambda epoch, n=len(ds): distributed_indices(
+                n, rank, world, shuffle=shuffle, seed=config.SEED, epoch=epoch
+            ),
+            num_workers=config.DATA.NUM_WORKERS,
+        )
+
+    return _loader(df_train, True), _loader(df_val, False), _loader(df_test, False), None

@@ -1,0 +1,198 @@
+"""Host-side volume loading + preprocessing pipeline.
+
+Numpy/scipy re-implementation of the reference's MONAI ``loading_transforms``
+chain (reference: src/data/transforms.py:108-178):
+
+    LoadImaged -> EnsureChannelFirst -> Orientation("RAS")
+    -> Spacing to 1 mm isotropic (spline order 3) -> CropForeground(x > 0)
+    -> HU windowing (1 window or 3-window stack) -> Resize to ROI ("area")
+    -> float16
+
+This runs on host CPU threads and feeds the device; results are cached to
+disk as .npy (replacing MONAI PersistentDataset, reference:
+src/data/datasets.py:42-46). The windowing values, window math
+((x - a_min)/(a_max - a_min), clipped to [0, 1]) and the 3-channel stack
+order match the reference exactly (reference: src/data/transforms.py:8-36,
+119-134); "area" resize matches torch's adaptive-average-pool semantics used
+by MONAI's default Resize mode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from headct_foundation_tpu.data.nifti import load_nifti, orientation_ras
+
+# (center, width) windows for the 3-channel stack: brain, subdural, bone
+# (reference: src/data/transforms.py:130).
+WINDOW_SIZES_3CH = [(40, 80), (80, 200), (600, 2800)]
+# 1-channel variant: center 40, +-150 (reference: src/data/transforms.py:120-128).
+WINDOW_1CH = (40 - 150, 40 + 150)
+
+
+def scale_intensity_range(
+    x: np.ndarray, a_min: float, a_max: float, b_min: float = 0.0,
+    b_max: float = 1.0, clip: bool = True,
+) -> np.ndarray:
+    """MONAI ScaleIntensityRange: linear map [a_min, a_max] -> [b_min, b_max]."""
+    y = (x.astype(np.float32) - a_min) / (a_max - a_min)
+    y = y * (b_max - b_min) + b_min
+    if clip:
+        y = np.clip(y, b_min, b_max)
+    return y
+
+
+def window_stack(x: np.ndarray, in_channels: int) -> np.ndarray:
+    """HU windowing -> [C, H, W, D] in [0, 1]."""
+    assert x.ndim == 3, x.shape
+    if in_channels == 1:
+        return scale_intensity_range(x, *WINDOW_1CH)[None]
+    if in_channels == 3:
+        return np.stack(
+            [
+                scale_intensity_range(x, c - w // 2, c + w // 2)
+                for c, w in WINDOW_SIZES_3CH
+            ],
+            axis=0,
+        )
+    raise NotImplementedError(f"Channel size {in_channels} is not implemented.")
+
+
+def resample_to_spacing(
+    x: np.ndarray, spacing: Sequence[float], new_spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    order: int = 3,
+) -> np.ndarray:
+    """Resample a 3D volume to isotropic spacing with spline interpolation
+    (reference Spacingd pixdim=(1,1,1), mode=3 — src/data/transforms.py:153-158)."""
+    zoom = [s / ns for s, ns in zip(spacing, new_spacing)]
+    if np.allclose(zoom, 1.0, atol=1e-3):
+        return x
+    return ndimage.zoom(x, zoom=zoom, order=order, mode="nearest", prefilter=True)
+
+
+def crop_foreground(
+    x: np.ndarray, select_fn: Callable[[np.ndarray], np.ndarray] = lambda v: v > 0,
+    margin: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Crop to the bounding box of foreground voxels (MONAI CropForeground
+    defaults: select_fn = x > 0, margin 0). Returns (cropped, start, end)."""
+    mask = select_fn(x)
+    if not mask.any():
+        return x, np.zeros(3, dtype=int), np.asarray(x.shape, dtype=int)
+    coords = np.nonzero(mask)
+    start = np.array([max(int(c.min()) - margin, 0) for c in coords])
+    end = np.array(
+        [min(int(c.max()) + 1 + margin, s) for c, s in zip(coords, x.shape)]
+    )
+    sl = tuple(slice(s, e) for s, e in zip(start, end))
+    return x[sl], start, end
+
+
+def area_resize(x: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """'area'-mode resize (adaptive average pooling), separable per axis.
+
+    Matches torch F.interpolate(mode='area') — MONAI Resize's default — which
+    averages input cells [floor(i*L/O), ceil((i+1)*L/O)) per output cell.
+    Channel-first input: [C, H, W, D] -> [C, *out_shape].
+    """
+    assert x.ndim == 4, x.shape
+    out = x.astype(np.float32)
+    for axis, o in enumerate(out_shape, start=1):
+        length = out.shape[axis]
+        if length == o:
+            continue
+        out = _adaptive_avg_axis(out, axis, o)
+    return out
+
+
+def _adaptive_avg_axis(x: np.ndarray, axis: int, out: int) -> np.ndarray:
+    length = x.shape[axis]
+    moved = np.moveaxis(x, axis, 0)
+    starts = (np.arange(out) * length) // out
+    ends = -(-((np.arange(out) + 1) * length) // out)  # ceil
+    # cumulative sum along the axis for O(1) range means
+    csum = np.concatenate(
+        [np.zeros((1,) + moved.shape[1:], dtype=np.float64), np.cumsum(moved, axis=0)],
+        axis=0,
+    )
+    pooled = (csum[ends] - csum[starts]) / (ends - starts).reshape(
+        (-1,) + (1,) * (moved.ndim - 1)
+    )
+    return np.moveaxis(pooled.astype(x.dtype), 0, axis)
+
+
+def resize_with_pad_or_crop(x: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """MONAI ResizeWithPadOrCrop: center-crop axes that are too long,
+    symmetrically zero-pad axes that are too short. Channel-first [C, ...]."""
+    assert x.ndim == len(out_shape) + 1
+    out = x
+    for axis, target in enumerate(out_shape, start=1):
+        size = out.shape[axis]
+        if size > target:
+            start = (size - target) // 2
+            sl = [slice(None)] * out.ndim
+            sl[axis] = slice(start, start + target)
+            out = out[tuple(sl)]
+        elif size < target:
+            before = (target - size) // 2
+            after = target - size - before
+            pad = [(0, 0)] * out.ndim
+            pad[axis] = (before, after)
+            out = np.pad(out, pad)
+    return out
+
+
+def load_and_preprocess(
+    path: str,
+    roi: Sequence[int],
+    in_channels: int,
+    spacing: Optional[Sequence[float]] = (1.0, 1.0, 1.0),
+) -> np.ndarray:
+    """Full loading pipeline: NIfTI path -> [C, *roi] float16 in [0, 1]."""
+    img = load_nifti(path)
+    data = np.asarray(img.data, dtype=np.float32)
+    if data.ndim == 4:  # drop trailing singleton (time) dim
+        data = data[..., 0]
+    assert data.ndim == 3, f"{path}: expected 3D volume, got {data.shape}"
+    data, affine = orientation_ras(data, img.affine)
+    vox = np.linalg.norm(affine[:3, :3], axis=0)
+    if spacing is not None:
+        data = resample_to_spacing(data, vox, spacing)
+    data, _, _ = crop_foreground(data)
+    channels = window_stack(data, in_channels)
+    channels = area_resize(channels, roi)
+    return channels.astype(np.float16)
+
+
+def loading_transforms(
+    roi: Sequence[int], in_channels: int
+) -> Callable[[str], np.ndarray]:
+    """Factory mirroring the reference API (src/data/transforms.py:108):
+    returns a callable path -> preprocessed [C, *roi] float16 volume."""
+
+    def _load(path: str) -> np.ndarray:
+        return load_and_preprocess(path, roi, in_channels)
+
+    return _load
+
+
+def extract_feature_preprocess(
+    path: str, roi: Sequence[int], in_channels: int
+) -> np.ndarray:
+    """Notebook feature-extraction preprocessing order: Resize BEFORE
+    windowing (reference: notebooks/extract_feature_sample.ipynb cell 7 —
+    order differs from training's loading_transforms; SURVEY.md §3.4)."""
+    img = load_nifti(path)
+    data = np.asarray(img.data, dtype=np.float32)
+    if data.ndim == 4:
+        data = data[..., 0]
+    data, affine = orientation_ras(data, img.affine)
+    vox = np.linalg.norm(affine[:3, :3], axis=0)
+    data = resample_to_spacing(data, vox)
+    data, _, _ = crop_foreground(data)
+    resized = area_resize(data[None], roi)[0]
+    return window_stack(resized, in_channels).astype(np.float32)

@@ -1,0 +1,68 @@
+"""Offline preprocessing cache builder.
+
+Equivalent of the reference's ``cpu_caching.py`` + ``run_cache_data.py``
+(reference: cpu_caching.py:13-65, run_cache_data.py:6-29), which shard a scan
+manifest into Slurm CPU array jobs that materialize the MONAI
+PersistentDataset cache. Here a single multi-threaded process (or N shard
+invocations on any scheduler) materializes the .npy DiskCache used by the
+datasets.
+
+Usage:
+  python tools/build_cache.py --csv manifest.csv --cache-dir cache/mae_cache \
+      [--roi 96] [--in-chans 3] [--shard 0 --num-shards 10] [--workers 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+from headct_foundation_tpu.data.datasets import DiskCache
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", required=True, help="manifest with img_path column")
+    ap.add_argument("--cache-dir", required=True)
+    ap.add_argument("--roi", type=int, default=96)
+    ap.add_argument("--in-chans", type=int, default=3)
+    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    args = ap.parse_args()
+
+    paths = list(pd.read_csv(args.csv)["img_path"])[args.shard :: args.num_shards]
+    cache = DiskCache(args.cache_dir, (args.roi,) * 3, args.in_chans)
+
+    done = 0
+    errors = 0
+    t0 = time.time()
+
+    def _one(path: str) -> bool:
+        try:
+            cache.load(path)
+            return True
+        except Exception as e:
+            print(f"ERROR {path}: {e}", file=sys.stderr)
+            return False
+
+    with ThreadPoolExecutor(max_workers=args.workers) as pool:
+        for ok in pool.map(_one, paths):
+            done += 1
+            errors += (not ok)
+            if done % 100 == 0:
+                rate = done / (time.time() - t0)
+                print(f"[{done}/{len(paths)}] {rate:.1f} scans/s, {errors} errors")
+
+    print(f"done: {done} scans, {errors} errors, {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
