@@ -152,6 +152,18 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
         raise TypeError(f"Type mismatch for {key}: expected bool, got {type(value)}")
     if isinstance(old, float) and isinstance(value, (int, float)):
         return float(value)
+    # PyYAML parses dot-less scientific notation ('5e-4') as a string;
+    # coerce numeric strings into numeric fields.
+    if isinstance(old, float) and isinstance(value, str):
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    if isinstance(old, int) and isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
     if isinstance(old, int) and isinstance(value, int):
         return value
     if isinstance(old, str):

@@ -1,0 +1,458 @@
+"""DINO pretraining engine: student/teacher EMA, on-device multi-crop.
+
+Mirrors the reference engine surface (reference: engine_pretrain_dino.py) with
+a TPU-first redesign. ONE jitted train step contains:
+
+* the FULL multi-crop augmentation (reference runs it on CPU workers — its
+  hot-loop bottleneck, SURVEY.md §3.2; here it's fused crop+resize on device),
+* teacher forward on the 2 global crops, student forward on ALL crops as a
+  single batched pass (every crop is the same 96^3 size, so the reference's
+  size-grouped loop — misc.py:463-484 — collapses to one MXU-saturating
+  batch),
+* DINO loss with centered/sharpened teacher (losses/dino_loss.py); the
+  center's cross-replica all-reduce (reference: losses.py:97) is implicit in
+  the sharded-batch mean,
+* per-iter weight-decay schedule on the optimizer (reference:
+  engine_pretrain_dino.py:62-65), last-layer grad cancel during warmup epochs
+  (reference: :95), and the teacher EMA update as a pytree lerp (reference:
+  misc.py:386-397).
+
+The reference indexes the EMA momentum by within-epoch idx rather than global
+step (engine_pretrain_dino.py:104) — kept behind ``momentum_global_step``
+(default False == reference behavior).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from headct_foundation_tpu.data.augment import dino_multicrop
+from headct_foundation_tpu.losses.dino_loss import (
+    dino_loss,
+    teacher_temp_schedule,
+    update_center,
+)
+from headct_foundation_tpu.models.dino_head import DINOHead
+from headct_foundation_tpu.models.vit import ViT
+from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
+from headct_foundation_tpu.optim.optimizers import get_optimizer
+from headct_foundation_tpu.optim.schedules import get_momentum_schedule, get_wd_schedule
+from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.metrics import MetricLogger
+
+
+class DINOTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any          # student {'backbone': ..., 'head': ...}
+    teacher_params: Any  # same structure, EMA of student
+    opt_state: Any
+    center: jnp.ndarray  # [1, out_dim]
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    backbone_apply: Callable = struct.field(pytree_node=False)
+    head_apply: Callable = struct.field(pytree_node=False)
+
+
+def build_vit_model(config, dtype=jnp.bfloat16, lora: bool = False) -> ViT:
+    """ViT backbone from config keys (reference: main_pretrain_dino.py:110-145)."""
+    return ViT(
+        lora=lora,
+        in_chans=config.VIT.IN_CHANS,
+        img_size=config.VIT.INPUT_SIZE,
+        patch_size=config.VIT.PATCH_SIZE,
+        hidden_size=config.VIT.HIDDEN_SIZE,
+        mlp_dim=config.VIT.MLP_DIM,
+        num_layers=config.VIT.NUM_LAYERS,
+        num_heads=config.VIT.NUM_HEADS,
+        pos_embed=config.VIT.POS_EMBED,
+        classification=False,
+        dropout_rate=config.VIT.DROPOUT_RATE,
+        spatial_dims=config.VIT.SPATIAL_DIMS,
+        num_register_tokens=config.VIT.NUM_REGISTER_TOKENS,
+        qkv_bias=config.VIT.USE_BIAS,
+        norm_layer=config.VIT.NORM_LAYER,
+        remat=config.PARALLEL.REMAT,
+        dtype=dtype,
+    )
+
+
+def build_dino_head(config, dtype=jnp.bfloat16) -> DINOHead:
+    return DINOHead(
+        in_dim=config.VIT.HIDDEN_SIZE,
+        out_dim=config.DINO.HEAD_N_PROTOTYPES,
+        use_bn=config.DINO.USE_BN,
+        norm_last_layer=config.DINO.NORM_LAST_LAYER,
+        nlayers=config.DINO.HEAD_N_LAYERS,
+        hidden_dim=config.DINO.HEAD_HIDDEN_DIM,
+        bottleneck_dim=config.DINO.BOTTLENECK_DIM,
+        dtype=dtype,
+    )
+
+
+def dino_trainable_mask(params: Any, config) -> Any:
+    """False for frozen leaves: sincos position embeddings and (when
+    NORM_LAST_LAYER) the weight-norm gain of the head's last layer
+    (reference: dino_head.py:27-29)."""
+
+    def _mask(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if config.VIT.POS_EMBED == "sincos" and "position_embeddings" in names:
+            return False
+        if (
+            config.DINO.NORM_LAST_LAYER
+            and "last_layer" in names
+            and names[-1] == "weight_g"
+        ):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def create_train_state(
+    config,
+    mesh: Mesh,
+    rng: jax.Array,
+    total_steps: int,
+    num_warmup_steps: int,
+    niter_per_ep: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[DINOTrainState, Any, Callable, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (state, state_shardings, lr_schedule, wd_sched, momentum_sched,
+    teacher_temp_sched)."""
+    backbone = build_vit_model(config, dtype=dtype)
+    head = build_dino_head(config, dtype=dtype)
+    roi = config.MODEL.ROI
+    sample = jnp.zeros((1, config.VIT.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
+
+    def _init(rng):
+        kb, kh = jax.random.split(rng)
+        b_params = backbone.init(kb, sample)["params"]
+        h_params = head.init(kh, jnp.zeros((1, config.VIT.HIDDEN_SIZE), dtype))["params"]
+        return {"backbone": b_params, "head": h_params}
+
+    params_shape = jax.eval_shape(_init, rng)
+    p_shardings = param_shardings(params_shape, mesh)
+    params = jax.jit(_init, out_shardings=p_shardings)(rng)
+    teacher_params = jax.tree.map(jnp.copy, params)
+
+    lr_schedule = get_lr_schedule(
+        config, config.TRAIN.BASE_LR, num_warmup_steps, total_steps, config.TRAIN.MIN_LR
+    )
+    wd_sched = get_wd_schedule(config, niter_per_ep)
+    momentum_sched = get_momentum_schedule(config, niter_per_ep)
+    temp_sched = teacher_temp_schedule(
+        config.DINO.WARMUP_TEACHER_TEMP,
+        config.DINO.TEACHER_TEMP,
+        config.DINO.WARMUP_TEACHER_EPOCHS,
+        config.TRAIN.MAX_EPOCHS,
+    )
+
+    wd_dev = jnp.asarray(wd_sched, jnp.float32)
+
+    def wd_fn(step):
+        return jnp.take(wd_dev, jnp.minimum(step, len(wd_sched) - 1))
+
+    mask = dino_trainable_mask(params, config)
+    tx = get_optimizer(
+        config,
+        lr_schedule,
+        weight_decay=wd_fn,
+        grad_clip=config.TRAIN.GRAD_CLIP or None,
+        trainable_mask=mask,
+    )
+
+    state = DINOTrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        teacher_params=teacher_params,
+        opt_state=tx.init(params),
+        center=jnp.zeros((1, config.DINO.HEAD_N_PROTOTYPES), jnp.float32),
+        tx=tx,
+        backbone_apply=backbone.apply,
+        head_apply=head.apply,
+    )
+    replicated = NamedSharding(mesh, P())
+    state_shardings = jax.tree.map(lambda _: replicated, state)
+    state_shardings = state_shardings.replace(
+        params=p_shardings, teacher_params=p_shardings
+    )
+    state = jax.device_put(state, state_shardings)
+    return state, state_shardings, lr_schedule, wd_sched, momentum_sched, temp_sched
+
+
+def make_train_step(config, mesh: Mesh):
+    """Jitted DINO step: (state, batch, rng, momentum, teacher_temp,
+    cancel_last_layer) -> (state, metrics)."""
+    ncrops = config.DINO.LOCAL_CROP_NUM + 2
+    final_size = tuple(config.MODEL.ROI)
+    global_size = config.DINO.GLOBAL_CROP_SIZE[0]
+    local_size = config.DINO.LOCAL_CROP_SIZE[0]
+    local_num = config.DINO.LOCAL_CROP_NUM
+    use_bn = config.DINO.USE_BN
+    freeze_flag_dtype = jnp.float32
+
+    def train_step(
+        state: DINOTrainState,
+        batch: jnp.ndarray,
+        rng: jax.Array,
+        momentum: jnp.ndarray,
+        teacher_temp: jnp.ndarray,
+        cancel_last_layer: jnp.ndarray,
+    ):
+        step_rng = jax.random.fold_in(rng, state.step)
+        crop_rng, _ = jax.random.split(step_rng)
+
+        crops = dino_multicrop(
+            crop_rng,
+            batch,
+            final_size=final_size,
+            global_crop_size=global_size,
+            local_crop_size=local_size,
+            local_crops_number=local_num,
+        )
+
+        # Teacher: 2 global crops, one batched pass, CLS feature -> head.
+        teacher_in = jnp.concatenate(crops[:2], axis=0)
+        t_tokens, _ = state.backbone_apply(
+            {"params": state.teacher_params["backbone"]}, teacher_in
+        )
+        teacher_output = state.head_apply(
+            {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
+        )
+        teacher_output = jax.lax.stop_gradient(teacher_output)
+
+        student_in = jnp.concatenate(crops, axis=0)
+
+        def loss_fn(params):
+            s_tokens, _ = state.backbone_apply(
+                {"params": params["backbone"]}, student_in
+            )
+            student_output = state.head_apply(
+                {"params": params["head"]}, s_tokens[:, 0, :]
+            )
+            return dino_loss(
+                student_output, teacher_output, state.center, teacher_temp, ncrops
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+
+        # Cancel last-layer grads during warmup epochs (reference: misc.py:366-371).
+        keep = (1.0 - cancel_last_layer).astype(freeze_flag_dtype)
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: g * keep
+            if any(str(getattr(k, "key", k)) == "last_layer" for k in path)
+            else g,
+            grads,
+        )
+
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Teacher EMA (reference: misc.py:386-397).
+        m = momentum.astype(jnp.float32)
+        new_teacher = jax.tree.map(
+            lambda t, s: (t.astype(jnp.float32) * m
+                          + s.astype(jnp.float32) * (1.0 - m)).astype(t.dtype),
+            state.teacher_params,
+            new_params,
+        )
+
+        new_center = update_center(state.center, teacher_output)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            teacher_params=new_teacher,
+            opt_state=new_opt_state,
+            center=new_center,
+        )
+        return new_state, {"loss": loss}
+
+    del use_bn  # BN-in-head uses running averages only in this engine for now
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_sharding(mesh), None, None, None, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(config, mesh: Mesh):
+    """Validation: same loss computed without updates (reference:
+    engine_pretrain_dino.py:128-205 val_one_epoch)."""
+    ncrops = config.DINO.LOCAL_CROP_NUM + 2
+    final_size = tuple(config.MODEL.ROI)
+
+    def eval_step(state, batch, rng, teacher_temp):
+        crops = dino_multicrop(
+            rng,
+            batch,
+            final_size=final_size,
+            global_crop_size=config.DINO.GLOBAL_CROP_SIZE[0],
+            local_crop_size=config.DINO.LOCAL_CROP_SIZE[0],
+            local_crops_number=config.DINO.LOCAL_CROP_NUM,
+        )
+        teacher_in = jnp.concatenate(crops[:2], axis=0)
+        t_tokens, _ = state.backbone_apply(
+            {"params": state.teacher_params["backbone"]}, teacher_in
+        )
+        teacher_output = state.head_apply(
+            {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
+        )
+        student_in = jnp.concatenate(crops, axis=0)
+        s_tokens, _ = state.backbone_apply(
+            {"params": state.params["backbone"]}, student_in
+        )
+        student_output = state.head_apply(
+            {"params": state.params["head"]}, s_tokens[:, 0, :]
+        )
+        loss = dino_loss(
+            student_output, teacher_output, state.center, teacher_temp, ncrops
+        )
+        return {"loss": loss}
+
+    return jax.jit(eval_step, in_shardings=(None, batch_sharding(mesh), None, None))
+
+
+def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
+    arr = np.asarray(batch, dtype=np.float32).astype(dtype)
+    return jax.device_put(arr, batch_sharding(mesh))
+
+
+def train_one_epoch(
+    config, state, train_step, loader, mesh, rng,
+    lr_schedule, wd_sched, momentum_sched, temp_sched,
+    epoch: int, max_epoch: int, logger=None, wandb_run=None,
+    momentum_global_step: bool = False,
+) -> Tuple[DINOTrainState, Dict[str, float]]:
+    metric_logger = MetricLogger(logger=logger)
+    n_batches = len(loader) if hasattr(loader, "__len__") else 0
+    cancel = jnp.asarray(1.0 if epoch < config.DINO.FREEZE_LAST_LAYER else 0.0)
+    temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
+
+    for idx, batch_data in enumerate(loader):
+        batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data
+        it = n_batches * epoch + idx
+        # Reference quirk: momentum indexed by within-epoch idx, not global it
+        # (engine_pretrain_dino.py:104). momentum_global_step=True fixes it.
+        m_idx = min(it if momentum_global_step else idx, len(momentum_sched) - 1)
+        m = jnp.asarray(momentum_sched[m_idx], jnp.float32)
+
+        data = _to_device_batch(batch, mesh)
+        state, metrics = train_step(state, data, rng, m, temp, cancel)
+
+        loss = float(jax.device_get(metrics["loss"]))
+        if not math.isfinite(loss):
+            if logger:
+                logger.info(f"Loss is {loss}, stopping training")
+            sys.exit(1)
+        lr = float(lr_schedule(it))
+        wd = float(wd_sched[min(it, len(wd_sched) - 1)])
+        metric_logger.update(loss=loss, lr=lr, wd=wd)
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
+            )
+        if wandb_run is not None:
+            wandb_run.log({"Training Loss": loss, "Training lr": lr, "Training wd": wd})
+
+    return state, metric_logger.averages()
+
+
+def val_one_epoch(
+    config, state, eval_step, loader, mesh, rng, temp_sched, epoch, max_epoch,
+    logger=None,
+) -> Dict[str, float]:
+    metric_logger = MetricLogger(logger=logger)
+    temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
+    for idx, batch_data in enumerate(loader):
+        batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data
+        data = _to_device_batch(batch, mesh)
+        metrics = eval_step(state, data, jax.random.fold_in(rng, idx), temp)
+        loss = float(jax.device_get(metrics["loss"]))
+        metric_logger.update(loss=loss)
+        if logger:
+            logger.info(f"Val Epoch {epoch + 1}/{max_epoch} [{idx + 1}]  Loss: {loss:.4f}")
+    return metric_logger.averages()
+
+
+def trainer(
+    config, state, train_step, eval_step, train_loader, val_loader, mesh, rng,
+    lr_schedule, wd_sched, momentum_sched, temp_sched, max_epochs, val_every,
+    logger=None, start_epoch: int = 0, wandb_run=None,
+) -> Tuple[DINOTrainState, float]:
+    best_loss = float("inf")
+    save_name = config.MODEL.SAVE_NAME
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        state, stats = train_one_epoch(
+            config, state, train_step, train_loader, mesh, rng, lr_schedule,
+            wd_sched, momentum_sched, temp_sched, epoch, max_epochs,
+            logger=logger, wandb_run=wandb_run,
+        )
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s  "
+                f"train loss {stats.get('loss', float('nan')):.4f}"
+            )
+        if jax.process_index() == 0:
+            save_checkpoint(
+                _ckpt_view(state), epoch, best_loss, config.MODEL.DIR,
+                f"latest_{save_name}", logger=logger,
+                extra={"momentum_model_state_dict": state.teacher_params,
+                       "center": state.center},
+            )
+        if (epoch + 1) % val_every == 0 and val_loader is not None:
+            val_stats = val_one_epoch(
+                config, state, eval_step, val_loader, mesh, rng, temp_sched,
+                epoch, max_epochs, logger=logger,
+            )
+            val_loss = val_stats.get("loss", float("inf"))
+            if wandb_run is not None:
+                wandb_run.log({"Validation Loss": val_loss})
+            if val_loss < best_loss:
+                best_loss = val_loss
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        _ckpt_view(state), epoch, best_loss, config.MODEL.DIR,
+                        f"best_{save_name}", logger=logger,
+                        extra={"momentum_model_state_dict": state.teacher_params,
+                               "center": state.center},
+                    )
+    return state, best_loss
+
+
+class _CkptView:
+    """Adapter presenting a DINOTrainState through the save_checkpoint API."""
+
+    def __init__(self, state: DINOTrainState):
+        self.step = state.step
+        self.params = state.params
+        self.opt_state = state.opt_state
+
+
+def _ckpt_view(state: DINOTrainState) -> _CkptView:
+    return _CkptView(state)
+
+
+def tester(config, state, eval_step, test_loader, mesh, rng, temp_sched,
+           logger=None, wandb_run=None) -> Dict[str, float]:
+    stats = val_one_epoch(
+        config, state, eval_step, test_loader, mesh, rng, temp_sched,
+        epoch=0, max_epoch=1, logger=logger,
+    )
+    if wandb_run is not None and "loss" in stats:
+        wandb_run.log({"Test Loss": stats["loss"]})
+    return stats

@@ -1,0 +1,403 @@
+"""Downstream engine: fine-tune / linear-probe / LoRA / few-shot classification.
+
+Mirrors the reference engine surface (reference: engine_downstream.py):
+
+* ViT forward -> CLS slice for the linear classifier, full token sequence for
+  the attentive classifier (reference: engine_downstream.py:85-89),
+* cross-entropy loss, dual optimizers — classifier LR = 100 x backbone LR
+  (reference: main_downstream.py:200-208) — expressed as one
+  ``optax.multi_transform`` over the {model, classifier} partition,
+* global-norm gradient clipping per group (reference:
+  engine_downstream.py:107-110 uses clip_grad_norm_, unlike pretrain's
+  per-param clip),
+* --freeze (TRAIN.LOCK) drops the backbone from optimization; --lora trains
+  only lora/bias/embeddings/norm backbone params (reference:
+  misc.py:349-359),
+* model selection by mean validation AUROC with best-state copy (reference:
+  engine_downstream.py:381-412), tester saves a
+  {fnames, preds, targets} pickle and ROC/PR plots (reference:
+  engine_downstream.py:234-242).
+
+Classifier BatchNorm statistics are computed over the global (sharded) batch
+under jit — the TPU-native SyncBatchNorm.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import sys
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from headct_foundation_tpu.data.augment import vit_augment
+from headct_foundation_tpu.engines.dino_engine import build_vit_model
+from headct_foundation_tpu.models.classifier import AttentionClassifier, LinearClassifier
+from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
+from headct_foundation_tpu.optim.optimizers import get_optimizer
+from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.metrics import MetricLogger, multiclass_metrics
+from headct_foundation_tpu.utils.plots import plot_pr_curve
+
+
+class DownstreamTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any       # {'model': vit params, 'classifier': classifier params}
+    batch_stats: Any  # classifier BN running stats
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model_apply: Callable = struct.field(pytree_node=False)
+    classifier_apply: Callable = struct.field(pytree_node=False)
+    classifier_kind: str = struct.field(pytree_node=False, default="linear")
+
+
+def build_classifier(config, dtype=jnp.bfloat16):
+    """Classifier choice (reference: main_downstream.py:141-154)."""
+    kind = config.TRAIN.CLASSIFIER
+    if kind == "linear":
+        return LinearClassifier(
+            dim=config.VIT.HIDDEN_SIZE, num_classes=config.DATA.NUM_CLASSES,
+            dtype=dtype,
+        )
+    if kind == "attentive":
+        return AttentionClassifier(
+            dim=config.VIT.HIDDEN_SIZE, num_classes=config.DATA.NUM_CLASSES,
+            num_heads=config.VIT.NUM_HEADS, qkv_bias=config.VIT.USE_BIAS,
+            dtype=dtype,
+        )
+    raise NotImplementedError(f"Unknown classifier: {kind}")
+
+
+def lora_trainable_mask(params: Any) -> Any:
+    """Reference LoRA mask: train lora/bias/embeddings/norm params only
+    (reference: misc.py:349-359, substring match on parameter names)."""
+
+    def _mask(path, leaf):
+        joined = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        return any(s in joined for s in ("lora", "bias", "embeddings", "norm"))
+
+    return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def create_train_state(
+    config,
+    mesh: Mesh,
+    rng: jax.Array,
+    total_steps: int,
+    num_warmup_steps: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[DownstreamTrainState, Any, Callable]:
+    model = build_vit_model(config, dtype=dtype, lora=config.TRAIN.LORA)
+    classifier = build_classifier(config, dtype=dtype)
+    roi = config.MODEL.ROI
+    sample = jnp.zeros((2, config.VIT.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
+    kind = config.TRAIN.CLASSIFIER
+
+    def _init(rng):
+        km, kc = jax.random.split(rng)
+        m_params = model.init(km, sample)["params"]
+        if kind == "linear":
+            feat = jnp.zeros((2, config.VIT.HIDDEN_SIZE), dtype)
+        else:
+            feat = jnp.zeros((2, 5, config.VIT.HIDDEN_SIZE), dtype)
+        c_vars = classifier.init(kc, feat)
+        return (
+            {"model": m_params, "classifier": c_vars["params"]},
+            {"classifier": c_vars.get("batch_stats", {})},
+        )
+
+    (params_shape, stats_shape) = jax.eval_shape(_init, rng)
+    p_shardings = param_shardings(params_shape, mesh)
+    replicated = NamedSharding(mesh, P())
+    s_shardings = jax.tree.map(lambda _: replicated, stats_shape)
+    params, batch_stats = jax.jit(
+        _init, out_shardings=(p_shardings, s_shardings)
+    )(rng)
+
+    # LR schedules: classifier at 100x (reference: main_downstream.py:200-210).
+    lr_model = get_lr_schedule(
+        config, config.TRAIN.BASE_LR, num_warmup_steps, total_steps,
+        config.TRAIN.BASE_LR * 1e-3,
+    )
+    lr_clf = get_lr_schedule(
+        config, config.TRAIN.BASE_LR * 1e2, num_warmup_steps, total_steps,
+        config.TRAIN.BASE_LR * 1e-1,
+    )
+
+    # Per-leaf routing: classifier params get the 100x-LR optimizer; frozen
+    # backbone leaves (LOCK, non-LoRA params under --lora, sincos position
+    # embeddings) get zero updates; the rest get the backbone optimizer.
+    lora_mask = lora_trainable_mask(params["model"]) if config.TRAIN.LORA else None
+
+    def _label(path, _leaf):
+        top = str(getattr(path[0], "key", path[0]))
+        if top == "classifier":
+            return "classifier"
+        names = [str(getattr(k, "key", k)) for k in path]
+        if config.TRAIN.LOCK:
+            return "freeze"
+        if config.VIT.POS_EMBED == "sincos" and "position_embeddings" in names:
+            return "freeze"
+        if lora_mask is not None:
+            joined = "/".join(names[1:]).lower()
+            if not any(s in joined for s in ("lora", "bias", "embeddings", "norm")):
+                return "freeze"
+        return "model"
+
+    labels = jax.tree_util.tree_map_with_path(_label, params)
+
+    grad_clip = config.TRAIN.GRAD_CLIP or None
+    model_tx = get_optimizer(config, lr_model)
+    clf_tx = get_optimizer(config, lr_clf)
+    if grad_clip:
+        # global-norm clip per group (reference: engine_downstream.py:107-110)
+        model_tx = optax.chain(optax.clip_by_global_norm(grad_clip), model_tx)
+        clf_tx = optax.chain(optax.clip_by_global_norm(grad_clip), clf_tx)
+
+    tx = optax.multi_transform(
+        {"model": model_tx, "classifier": clf_tx, "freeze": optax.set_to_zero()},
+        labels,
+    )
+
+    state = DownstreamTrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        model_apply=model.apply,
+        classifier_apply=classifier.apply,
+        classifier_kind=kind,
+    )
+    state_shardings = jax.tree.map(lambda _: replicated, state)
+    state_shardings = state_shardings.replace(params=p_shardings)
+    state = jax.device_put(state, state_shardings)
+    return state, state_shardings, (lr_model, lr_clf)
+
+
+def _features(state, params, batch, kind):
+    tokens, _ = state.model_apply({"params": params["model"]}, batch)
+    if kind == "linear":
+        return tokens[:, 0, :]  # CLS (reference: engine_downstream.py:85-86)
+    return tokens  # full sequence for attentive classifier
+
+
+def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
+    kind = config.TRAIN.CLASSIFIER
+    lock = config.TRAIN.LOCK if lock is None else lock
+
+    def train_step(state: DownstreamTrainState, batch, target, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        batch = vit_augment(step_rng, batch)
+
+        def loss_fn(params):
+            feats = _features(state, params, batch, kind)
+            if lock:
+                feats = jax.lax.stop_gradient(feats)
+            logits, updates = state.classifier_apply(
+                {"params": params["classifier"],
+                 "batch_stats": state.batch_stats["classifier"]},
+                feats,
+                use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), target
+            ).mean()
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats={"classifier": new_stats},
+            opt_state=new_opt_state,
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return new_state, {"loss": loss, "probs": probs}
+
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh), None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(config, mesh: Mesh):
+    kind = config.TRAIN.CLASSIFIER
+
+    def eval_step(state: DownstreamTrainState, batch, target):
+        feats = _features(state, state.params, batch, kind)
+        logits = state.classifier_apply(
+            {"params": state.params["classifier"],
+             "batch_stats": state.batch_stats["classifier"]},
+            feats,
+            use_running_average=True,
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), target
+        ).mean()
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {"loss": loss, "probs": probs}
+
+    return jax.jit(
+        eval_step, in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh))
+    )
+
+
+def _to_device(arr: np.ndarray, mesh: Mesh, dtype) -> jnp.ndarray:
+    return jax.device_put(np.asarray(arr).astype(dtype), batch_sharding(mesh))
+
+
+def train_one_epoch(
+    config, state, train_step, loader, mesh, rng, epoch, max_epoch, logger=None,
+    wandb_run=None,
+) -> Tuple[DownstreamTrainState, Dict[str, float]]:
+    metric_logger = MetricLogger(logger=logger)
+    all_probs, all_targets = [], []
+    n_batches = len(loader) if hasattr(loader, "__len__") else 0
+    for idx, (vols, targets, _fnames) in enumerate(loader):
+        data = _to_device(vols, mesh, np.float32)
+        tgt = _to_device(targets, mesh, np.int32)
+        state, metrics = train_step(state, data, tgt, rng)
+        loss = float(jax.device_get(metrics["loss"]))
+        if not math.isfinite(loss):
+            if logger:
+                logger.info(f"Loss is {loss}, stopping training")
+            sys.exit(1)
+        all_probs.append(np.asarray(jax.device_get(metrics["probs"])))
+        all_targets.append(np.asarray(targets))
+        metric_logger.update(loss=loss)
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
+            )
+        if wandb_run is not None:
+            wandb_run.log({"Training Loss": loss})
+    stats = metric_logger.averages()
+    if all_probs:
+        m = multiclass_metrics(
+            np.concatenate(all_targets), np.concatenate(all_probs),
+            config.DATA.NUM_CLASSES,
+        )
+        stats.update(m)
+    return state, stats
+
+
+def val_one_epoch(
+    config, state, eval_step, loader, mesh, epoch=0, max_epoch=1, logger=None,
+    save_preds: bool = False,
+) -> Dict[str, Any]:
+    metric_logger = MetricLogger(logger=logger)
+    all_probs, all_targets, all_fnames = [], [], []
+    for idx, (vols, targets, fnames) in enumerate(loader):
+        data = _to_device(vols, mesh, np.float32)
+        tgt = _to_device(targets, mesh, np.int32)
+        metrics = eval_step(state, data, tgt)
+        loss = float(jax.device_get(metrics["loss"]))
+        metric_logger.update(loss=loss)
+        all_probs.append(np.asarray(jax.device_get(metrics["probs"])))
+        all_targets.append(np.asarray(targets))
+        all_fnames.extend(fnames)
+        if logger:
+            logger.info(f"Val Epoch {epoch + 1}/{max_epoch} [{idx + 1}]  Loss: {loss:.4f}")
+    stats: Dict[str, Any] = metric_logger.averages()
+    if all_probs:
+        probs = np.concatenate(all_probs)
+        targets_np = np.concatenate(all_targets)
+        stats.update(
+            multiclass_metrics(targets_np, probs, config.DATA.NUM_CLASSES)
+        )
+        if save_preds:
+            stats["_preds"] = {
+                "fnames": all_fnames,
+                "preds": probs[:, 1] if probs.shape[1] > 1 else probs[:, 0],
+                "targets": targets_np,
+            }
+    return stats
+
+
+def trainer(
+    config, state, train_step, eval_step, train_loader, val_loader, mesh, rng,
+    max_epochs, val_every, logger=None, start_epoch: int = 0, wandb_run=None,
+) -> Tuple[DownstreamTrainState, Any, float]:
+    """Best-by-mean-AUROC selection (reference: engine_downstream.py:381-412).
+    Returns (final_state, best_params (params, batch_stats), best_auroc)."""
+    best_auroc = -float("inf")
+    best = (jax.device_get(state.params), jax.device_get(state.batch_stats))
+    save_name = config.MODEL.SAVE_NAME
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        state, stats = train_one_epoch(
+            config, state, train_step, train_loader, mesh, rng, epoch,
+            max_epochs, logger=logger, wandb_run=wandb_run,
+        )
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s  "
+                f"train loss {stats.get('loss', float('nan')):.4f}  "
+                f"train mean AUROC {stats.get('mean_auroc', float('nan')):.4f}"
+            )
+        if (epoch + 1) % val_every == 0 and val_loader is not None:
+            val_stats = val_one_epoch(
+                config, state, eval_step, val_loader, mesh, epoch, max_epochs,
+                logger=logger,
+            )
+            auroc = val_stats.get("mean_auroc", float("nan"))
+            if wandb_run is not None:
+                wandb_run.log({
+                    "Validation Loss": val_stats.get("loss", float("nan")),
+                    "Validation AUROC": auroc,
+                })
+            if logger:
+                logger.info(f"Val mean AUROC: {auroc:.4f}")
+            if np.isfinite(auroc) and auroc > best_auroc:
+                best_auroc = auroc
+                best = (jax.device_get(state.params), jax.device_get(state.batch_stats))
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        state, epoch, best_auroc, config.MODEL.DIR,
+                        f"best_{save_name}", logger=logger,
+                    )
+    return state, best, best_auroc
+
+
+def tester(
+    config, state, eval_step, test_loader, mesh, logger=None, wandb_run=None,
+    preds_dir: str = "preds_pkl", plots_dir: str = "plots",
+) -> Dict[str, Any]:
+    """Test eval + predictions pickle + ROC/PR plots (reference:
+    engine_downstream.py:419-491)."""
+    stats = val_one_epoch(
+        config, state, eval_step, test_loader, mesh, logger=logger, save_preds=True,
+    )
+    if wandb_run is not None and "loss" in stats:
+        wandb_run.log({"Test Loss": stats["loss"]})
+    preds = stats.pop("_preds", None)
+    if preds is not None and jax.process_index() == 0:
+        os.makedirs(preds_dir, exist_ok=True)
+        name = config.PREDS_SAVE_NAME
+        path = os.path.join(preds_dir, f"{name}_preds.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(preds, f)
+        if logger:
+            logger.info(f"Saved predictions to {path}")
+        if len(np.unique(preds["targets"])) > 1:
+            plot_pr_curve(preds["targets"], preds["preds"], plots_dir, name)
+    return stats

@@ -68,7 +68,6 @@ class DINOHead(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=self.dtype,
-                    axis_name="data" if not use_running_average else None,
                     name="mlp_bn_0",
                 )(x)
             x = nn.gelu(x, approximate=False)
@@ -80,7 +79,6 @@ class DINOHead(nn.Module):
                         momentum=0.9,
                         epsilon=1e-5,
                         dtype=self.dtype,
-                        axis_name="data" if not use_running_average else None,
                         name=f"mlp_bn_{i + 1}",
                     )(x)
                 x = nn.gelu(x, approximate=False)

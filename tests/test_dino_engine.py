@@ -1,0 +1,153 @@
+"""DINO engine smoke tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headct_foundation_tpu.config import default_config
+from headct_foundation_tpu.engines import dino_engine
+from headct_foundation_tpu.losses.dino_loss import (
+    dino_loss,
+    teacher_temp_schedule,
+    update_center,
+)
+from headct_foundation_tpu.parallel.mesh import make_mesh
+
+
+def _tiny_config(tmp_path):
+    cfg = default_config()
+    cfg.MODEL.ROI = [24, 24, 24]
+    cfg.MODEL.IN_CHANS = 1
+    cfg.MODEL.DIR = str(tmp_path)
+    cfg.MODEL.SAVE_NAME = "dino_tiny.ckpt"
+    cfg.VIT.INPUT_SIZE = 24
+    cfg.VIT.PATCH_SIZE = 12
+    cfg.VIT.IN_CHANS = 1
+    cfg.VIT.HIDDEN_SIZE = 48
+    cfg.VIT.MLP_DIM = 96
+    cfg.VIT.NUM_LAYERS = 2
+    cfg.VIT.NUM_HEADS = 4
+    cfg.VIT.NUM_REGISTER_TOKENS = 2
+    cfg.VIT.USE_BIAS = True
+    cfg.DINO.HEAD_N_PROTOTYPES = 128
+    cfg.DINO.HEAD_HIDDEN_DIM = 64
+    cfg.DINO.BOTTLENECK_DIM = 16
+    cfg.DINO.LOCAL_CROP_NUM = 2
+    cfg.DINO.USE_BN = False
+    cfg.TRAIN.MAX_EPOCHS = 4
+    cfg.TRAIN.GRAD_CLIP = 1.0
+    cfg.TRAIN.BASE_LR = 1e-3
+    cfg.TRAIN.MIN_LR = 1e-6
+    cfg.DINO.WARMUP_TEACHER_EPOCHS = 2
+    return cfg
+
+
+def test_dino_loss_formula():
+    rng = np.random.RandomState(0)
+    K, B = 16, 4
+    student = jnp.asarray(rng.randn(4 * B, K), dtype=jnp.float32)
+    teacher = jnp.asarray(rng.randn(2 * B, K), dtype=jnp.float32)
+    center = jnp.zeros((1, K))
+    loss = dino_loss(student, teacher, center, jnp.asarray(0.04), ncrops=4)
+    assert np.isfinite(float(loss))
+    # identical student/teacher distributions at the same views are skipped:
+    # loss over 2 teacher x 4 student views = 6 valid pairs
+    # (manual cross-entropy check)
+    import scipy.special as sp
+
+    s = np.asarray(student) / 0.1
+    t = sp.softmax(np.asarray(teacher) / 0.04, axis=-1)
+    s_chunks = np.split(s, 4)
+    t_chunks = np.split(t, 2)
+    total, n = 0.0, 0
+    for iq, q in enumerate(t_chunks):
+        for v in range(4):
+            if v == iq:
+                continue
+            logp = sp.log_softmax(s_chunks[v], axis=-1)
+            total += float(np.mean(np.sum(-q * logp, axis=-1)))
+            n += 1
+    np.testing.assert_allclose(float(loss), total / n, rtol=1e-5)
+
+
+def test_teacher_temp_schedule():
+    s = teacher_temp_schedule(0.04, 0.07, 3, 10)
+    assert len(s) == 10
+    np.testing.assert_allclose(s[:3], [0.04, 0.055, 0.07])
+    np.testing.assert_allclose(s[3:], 0.07)
+
+
+def test_center_update():
+    teacher = jnp.ones((8, 4)) * 2.0
+    center = jnp.zeros((1, 4))
+    new = update_center(center, teacher, 0.9)
+    np.testing.assert_allclose(np.asarray(new), 0.2, atol=1e-6)
+
+
+def test_dino_train_step(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    mesh = make_mesh(data=8)
+    rng = jax.random.PRNGKey(0)
+    state, shardings, lr_sched, wd_sched, mom_sched, temp_sched = (
+        dino_engine.create_train_state(
+            cfg, mesh, rng, total_steps=8, num_warmup_steps=1, niter_per_ep=2
+        )
+    )
+    train_step = dino_engine.make_train_step(cfg, mesh)
+
+    batch = dino_engine._to_device_batch(
+        np.random.RandomState(0).rand(8, 1, 24, 24, 24).astype(np.float32), mesh
+    )
+    g_before = np.asarray(
+        jax.device_get(state.params["head"]["last_layer"]["weight_g"])
+    )
+    teacher_before = jax.device_get(state.teacher_params)
+    losses = []
+    for i in range(3):
+        state, metrics = train_step(
+            state,
+            batch,
+            rng,
+            jnp.asarray(0.99),
+            jnp.asarray(0.04),
+            jnp.asarray(0.0),
+        )
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert all(np.isfinite(losses)), losses
+
+    # weight_g frozen (NORM_LAST_LAYER=True)
+    g_after = np.asarray(jax.device_get(state.params["head"]["last_layer"]["weight_g"]))
+    np.testing.assert_array_equal(g_before, g_after)
+
+    # teacher moved toward student (EMA applied)
+    teacher_after = jax.device_get(state.teacher_params)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        teacher_before, teacher_after,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+    # center updated away from zero
+    assert float(jnp.abs(state.center).max()) > 0
+
+
+def test_cancel_last_layer_freezes_grads(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    mesh = make_mesh(data=8)
+    rng = jax.random.PRNGKey(0)
+    state, *_ = dino_engine.create_train_state(
+        cfg, mesh, rng, total_steps=8, num_warmup_steps=1, niter_per_ep=2
+    )
+    train_step = dino_engine.make_train_step(cfg, mesh)
+    batch = dino_engine._to_device_batch(
+        np.random.RandomState(1).rand(8, 1, 24, 24, 24).astype(np.float32), mesh
+    )
+    v_before = np.asarray(
+        jax.device_get(state.params["head"]["last_layer"]["weight_v"])
+    )
+    state, _ = train_step(
+        state, batch, rng, jnp.asarray(0.99), jnp.asarray(0.04), jnp.asarray(1.0)
+    )
+    v_after = np.asarray(jax.device_get(state.params["head"]["last_layer"]["weight_v"]))
+    np.testing.assert_array_equal(v_before, v_after)
