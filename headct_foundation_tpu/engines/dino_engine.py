@@ -325,8 +325,11 @@ def make_eval_step(config, mesh: Mesh):
 
 
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
-    arr = np.asarray(batch, dtype=np.float32).astype(dtype)
-    return jax.device_put(arr, batch_sharding(mesh))
+    from headct_foundation_tpu.parallel.mesh import shard_batch
+
+    arr = np.asarray(batch, dtype=np.float32)
+    dev, _ = shard_batch(arr, mesh, dtype=dtype)
+    return dev
 
 
 def train_one_epoch(

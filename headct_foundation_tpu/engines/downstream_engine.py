@@ -260,7 +260,10 @@ def make_eval_step(config, mesh: Mesh):
 
 
 def _to_device(arr: np.ndarray, mesh: Mesh, dtype) -> jnp.ndarray:
-    return jax.device_put(np.asarray(arr).astype(dtype), batch_sharding(mesh))
+    from headct_foundation_tpu.parallel.mesh import shard_batch
+
+    dev, _ = shard_batch(np.asarray(arr), mesh, dtype=dtype)
+    return dev
 
 
 def train_one_epoch(
@@ -279,7 +282,8 @@ def train_one_epoch(
             if logger:
                 logger.info(f"Loss is {loss}, stopping training")
             sys.exit(1)
-        all_probs.append(np.asarray(jax.device_get(metrics["probs"])))
+        # slice off batch padding added by shard_batch
+        all_probs.append(np.asarray(jax.device_get(metrics["probs"]))[: len(targets)])
         all_targets.append(np.asarray(targets))
         metric_logger.update(loss=loss)
         if logger:
@@ -310,7 +314,7 @@ def val_one_epoch(
         metrics = eval_step(state, data, tgt)
         loss = float(jax.device_get(metrics["loss"]))
         metric_logger.update(loss=loss)
-        all_probs.append(np.asarray(jax.device_get(metrics["probs"])))
+        all_probs.append(np.asarray(jax.device_get(metrics["probs"]))[: len(targets)])
         all_targets.append(np.asarray(targets))
         all_fnames.extend(fnames)
         if logger:

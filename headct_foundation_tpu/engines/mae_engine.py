@@ -150,17 +150,24 @@ def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
     return jax.tree_util.tree_map_with_path(_assign, opt_shape)
 
 
-def make_train_step(mesh: Mesh):
+def make_train_step(mesh: Mesh, augment: bool = False):
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
     sharded over the data axis; rng is a per-host replicated key folded with
-    the global step for reproducible, decorrelated masking.
+    the global step for reproducible, decorrelated masking. With
+    ``augment=True`` the per-step random augmentation (flips + intensity
+    shift, reference mae3d_transforms) runs on device inside the step.
     """
 
     def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         mask_rng, drop_rng = jax.random.split(step_rng)
+        if augment:
+            from headct_foundation_tpu.data.augment import mae_augment
+
+            aug_rng = jax.random.fold_in(step_rng, 7)
+            batch = mae_augment(aug_rng, batch)
 
         def loss_fn(params):
             loss, _, _ = state.apply_fn(
@@ -195,8 +202,11 @@ def make_eval_step(mesh: Mesh):
 
 
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
-    arr = np.asarray(batch, dtype=np.float32).astype(dtype)
-    return jax.device_put(arr, batch_sharding(mesh))
+    from headct_foundation_tpu.parallel.mesh import shard_batch
+
+    arr = np.asarray(batch, dtype=np.float32)
+    dev, _ = shard_batch(arr, mesh, dtype=dtype)
+    return dev
 
 
 def train_one_epoch(
@@ -217,6 +227,8 @@ def train_one_epoch(
     pending = None  # (loss_device, step_idx) — overlap host logging with device work
 
     for idx, batch in enumerate(loader):
+        if isinstance(batch, tuple):  # loaders yield (volumes, fnames)
+            batch = batch[0]
         data = _to_device_batch(batch, mesh)
         state, metrics = train_step(state, data, rng)
 
@@ -264,6 +276,8 @@ def val_one_epoch(
 ) -> Dict[str, float]:
     metric_logger = MetricLogger(logger=logger)
     for idx, batch in enumerate(loader):
+        if isinstance(batch, tuple):
+            batch = batch[0]
         data = _to_device_batch(batch, mesh)
         metrics = eval_step(state, data, jax.random.fold_in(rng, idx))
         loss = float(jax.device_get(metrics["loss"]))

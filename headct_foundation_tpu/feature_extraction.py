@@ -1,0 +1,147 @@
+"""Feature-extraction API (reference surface: notebooks/extract_feature_sample.ipynb).
+
+Reproduces the notebook flow (SURVEY.md §3.4):
+
+  1. build a bare ViT (96^3, patch 12, ViT-B, 3 channels, sincos),
+  2. load pretrained weights with module./backbone./_orig_mod. prefix
+     stripping and strict=False (notebook cell 3),
+  3. preprocess NIfTI files with the notebook's transform ORDER — resize
+     BEFORE windowing (cell 7; note this differs from training's
+     loading_transforms, which windows before resize),
+  4. forward -> (last_layer_out [B, 513, 768], all_layers_out: 12 x same)
+     (cell 12); CLS = last_layer_out[:, 0, :]; optional LinearClassifier
+     logits (cells 16-17).
+
+Also provides batched embedding extraction for retrieval evaluation
+(eval/retrieval.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from headct_foundation_tpu.data.transforms import extract_feature_preprocess
+from headct_foundation_tpu.models.vit import ViT
+from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+
+
+class FeatureExtractor:
+    """Bare ViT feature extractor with notebook-parity preprocessing."""
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        img_size: int = 96,
+        patch_size: int = 12,
+        in_chans: int = 3,
+        hidden_size: int = 768,
+        mlp_dim: int = 3072,
+        num_layers: int = 12,
+        num_heads: int = 12,
+        pos_embed: str = "sincos",
+        num_register_tokens: int = 0,
+        qkv_bias: bool = True,
+        norm_layer: str = "layernorm",
+        dtype=jnp.float32,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.img_size = img_size
+        self.in_chans = in_chans
+        self.model = ViT(
+            in_chans=in_chans,
+            img_size=img_size,
+            patch_size=patch_size,
+            hidden_size=hidden_size,
+            mlp_dim=mlp_dim,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            pos_embed=pos_embed,
+            classification=False,
+            num_register_tokens=num_register_tokens,
+            qkv_bias=qkv_bias,
+            norm_layer=norm_layer,
+            dtype=dtype,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, in_chans, img_size, img_size, img_size), dtype)
+        self.params = self.model.init(rng, sample)["params"]
+        if checkpoint_path:
+            self.params = jax.tree.map(
+                jnp.asarray,
+                load_pretrained_into(
+                    jax.device_get(self.params), checkpoint_path,
+                    norm_layer=norm_layer,
+                ),
+            )
+        self._forward = jax.jit(
+            lambda params, x: self.model.apply({"params": params}, x)
+        )
+
+    def preprocess(self, nifti_path: str) -> np.ndarray:
+        """NIfTI path -> [C, R, R, R] float32 (notebook transform order)."""
+        return extract_feature_preprocess(
+            nifti_path, (self.img_size,) * 3, self.in_chans
+        )
+
+    def __call__(
+        self, x: np.ndarray
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """[B, C, R, R, R] -> (last_layer_out [B, T, C], all_layers_out)."""
+        x = jnp.asarray(np.asarray(x, dtype=np.float32))
+        if x.ndim == 4:
+            x = x[None]
+        return self._forward(self.params, x)
+
+    def extract_from_files(
+        self, paths: Sequence[str], batch_size: int = 8
+    ) -> np.ndarray:
+        """NIfTI paths -> CLS embeddings [N, hidden]."""
+        feats = []
+        batch: List[np.ndarray] = []
+
+        def _flush():
+            if not batch:
+                return
+            vols = np.stack(batch)
+            n = len(batch)
+            if n < batch_size:  # pad to the compiled batch shape
+                vols = np.concatenate(
+                    [vols, np.repeat(vols[-1:], batch_size - n, axis=0)]
+                )
+            out, _ = self(vols)
+            feats.append(np.asarray(out[:n, 0, :]))
+            batch.clear()
+
+        for p in paths:
+            batch.append(self.preprocess(p))
+            if len(batch) == batch_size:
+                _flush()
+        _flush()
+        return np.concatenate(feats, axis=0) if feats else np.zeros((0,))
+
+    def cls_embedding(self, x: np.ndarray) -> np.ndarray:
+        out, _ = self(x)
+        return np.asarray(out[:, 0, :])
+
+
+def build_extractor_from_config(config, checkpoint_path: Optional[str] = None,
+                                **kwargs) -> FeatureExtractor:
+    return FeatureExtractor(
+        checkpoint_path=checkpoint_path,
+        img_size=config.VIT.INPUT_SIZE,
+        patch_size=config.VIT.PATCH_SIZE,
+        in_chans=config.VIT.IN_CHANS,
+        hidden_size=config.VIT.HIDDEN_SIZE,
+        mlp_dim=config.VIT.MLP_DIM,
+        num_layers=config.VIT.NUM_LAYERS,
+        num_heads=config.VIT.NUM_HEADS,
+        pos_embed=config.VIT.POS_EMBED,
+        num_register_tokens=config.VIT.NUM_REGISTER_TOKENS,
+        qkv_bias=config.VIT.USE_BIAS,
+        norm_layer=config.VIT.NORM_LAYER,
+        **kwargs,
+    )

@@ -25,6 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 MESH_AXES = ("data", "fsdp", "tensor")
 
 
+def respect_jax_platforms_env() -> None:
+    """Re-assert the JAX_PLATFORMS env var as jax config.
+
+    Some environments register extra PJRT backends at interpreter start and
+    force-set jax_platforms themselves; calling this before first device use
+    restores the user's env-var choice (e.g. JAX_PLATFORMS=cpu for tests)."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
 def make_mesh(
     data: int = -1,
     fsdp: int = 1,
@@ -38,10 +54,12 @@ def make_mesh(
     if data == -1:
         assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
         data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    assert data * fsdp * tensor <= n, (
+        f"mesh {data}x{fsdp}x{tensor} needs more than {n} devices"
     )
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    dev_array = np.asarray(devices[: data * fsdp * tensor]).reshape(
+        data, fsdp, tensor
+    )
     return Mesh(dev_array, MESH_AXES)
 
 
@@ -57,6 +75,28 @@ def mesh_from_config(config, devices: Optional[Sequence[jax.Device]] = None) -> 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batches shard over both data and fsdp axes (fsdp also consumes batch)."""
     return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def shard_batch(arr: np.ndarray, mesh: Mesh, dtype=None):
+    """device_put a host batch with the batch axis sharded, padding the batch
+    to a multiple of the data x fsdp mesh size by repeating the last item
+    (the same duplicate-padding DistributedSampler applies at dataset tails).
+
+    Returns (device_array, n_real) — consumers that aggregate per-sample
+    outputs (metrics, predictions) slice back to ``n_real``.
+    """
+    import jax.numpy as jnp
+
+    arr = np.asarray(arr)
+    if dtype is not None:
+        arr = arr.astype(dtype)
+    divisor = mesh.shape["data"] * mesh.shape["fsdp"]
+    n = arr.shape[0]
+    rem = (-n) % divisor
+    if rem:
+        pad = np.repeat(arr[-1:], rem, axis=0)
+        arr = np.concatenate([arr, pad], axis=0)
+    return jax.device_put(arr, batch_sharding(mesh)), n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,279 @@
+"""Import reference torch checkpoints into our parameter pytrees.
+
+The reference saves torch pickles whose ``state_dict`` carries
+``module./backbone./_orig_mod.`` prefixes and loads them with prefix-stripping
+and ``strict=False`` (reference: src/utils/misc.py:72-96). This module
+reproduces that contract against our flax trees:
+
+* dotted torch names -> nested tree paths (``blocks.3.attn.qkv.weight`` ->
+  ``blocks_3/attn/qkv/kernel``),
+* layout conversions: torch ``Linear.weight`` [out, in] -> flax ``kernel``
+  [in, out]; Conv3d patch-embed weight [O, C, ph, pw, pd] -> our matmul
+  kernel [(ph pw pd C), O]; 1-D norm ``weight`` -> ``scale`` (layernorm) /
+  ``weight`` (rmsnorm); BatchNorm running stats -> ``batch_stats``,
+* ``merge_params`` — strict=False merge: copy where path+shape match, report
+  missing/unexpected like torch's ``load_state_dict`` message.
+
+Requires torch (CPU) only for unpickling ``.pt`` files.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+PREFIXES = ("module.", "backbone.", "_orig_mod.")
+
+
+def load_torch_state_dict(path: str, key: str = "state_dict") -> Dict[str, np.ndarray]:
+    """Load a reference .pt checkpoint and return {stripped_name: np.ndarray}."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload[key] if isinstance(payload, dict) and key in payload else payload
+    out = {}
+    for k, v in sd.items():
+        name = k
+        for p in PREFIXES:
+            name = name.replace(p, "")
+        if hasattr(v, "detach"):
+            out[name] = v.detach().cpu().numpy()
+    return out
+
+
+def strip_prefixes(sd: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        for p in PREFIXES:
+            k = k.replace(p, "")
+        out[k] = v
+    return out
+
+
+def _nest(tree: Dict, path: List[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_patch_embed(name_parts: List[str], value: np.ndarray):
+    """patch_embedding.patch_embeddings.{weight,bias} -> kernel/bias."""
+    leaf = name_parts[-1]
+    if leaf == "weight":
+        # [O, C, ph, pw, pd] -> [(ph, pw, pd, C), O] matching patchify3d's
+        # (ph, pw, pd, c) feature order (models/patch_embed.py).
+        o = value.shape[0]
+        return ["patch_embedding", "kernel"], value.transpose(2, 3, 4, 1, 0).reshape(-1, o)
+    if leaf == "bias":
+        return ["patch_embedding", "bias"], value
+    raise KeyError(name_parts)
+
+
+def torch_to_tree(
+    sd: Dict[str, np.ndarray], norm_layer: str = "layernorm"
+) -> Dict[str, Any]:
+    """Convert a stripped torch state_dict into our nested param/stats tree.
+
+    Returns {"params": tree, "batch_stats": tree} — batch_stats only populated
+    when BatchNorm running stats are present.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # BN-in-head layout detection (DINO head Sequential indices shift)
+    bn_layout = any(".running_mean" in k and "mlp." in k for k in sd)
+
+    for name, value in sd.items():
+        parts = name.split(".")
+        leaf = parts[-1]
+
+        if leaf == "num_batches_tracked":
+            continue
+
+        # ---- batch norm running stats ----
+        if leaf in ("running_mean", "running_var"):
+            path = _rename_module_path(parts[:-1], bn_layout)
+            _nest(stats, path + ["mean" if leaf == "running_mean" else "var"], value)
+            continue
+
+        # ---- patch embedding conv ----
+        if len(parts) >= 2 and parts[-2] == "patch_embeddings":
+            path, v = _convert_patch_embed(parts, value)
+            _nest(params, path, v)
+            continue
+        if parts[0] == "patch_embedding" and leaf == "position_embeddings":
+            _nest(params, ["patch_embedding", "position_embeddings"], value)
+            continue
+
+        path = _rename_module_path(parts[:-1], bn_layout)
+
+        # ---- leaves ----
+        if leaf == "weight":
+            if value.ndim == 2:  # Linear [out, in] -> kernel [in, out]
+                _nest(params, path + ["kernel"], value.T)
+            elif value.ndim == 1:  # norm weight
+                if norm_layer == "rmsnorm":
+                    _nest(params, path + ["weight"], value)
+                else:
+                    _nest(params, path + ["scale"], value)
+            else:
+                raise ValueError(f"Unhandled weight shape {value.shape} at {name}")
+        elif leaf == "bias":
+            _nest(params, path + ["bias"], value)
+        elif leaf in ("weight_g", "weight_v"):
+            _nest(params, path + [leaf], value)
+        elif leaf in (
+            "cls_token",
+            "register_tokens",
+            "mask_token",
+            "decoder_cls_token",
+            "decoder_pos_embed",
+            "position_embeddings",
+            "lora_matrix_A",
+            "lora_matrix_B",
+            "center",
+        ):
+            _nest(params, path + [leaf], value)
+        else:
+            # unknown leaf — keep verbatim so merge can still try
+            _nest(params, path + [leaf], value)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _rename_module_path(
+    parts: List[str], bn_layout: bool = False
+) -> List[str]:
+    """Map torch module paths to our tree naming.
+
+    - blocks.N -> blocks_N; decoder_blocks.N -> decoder_blocks_N
+    - DINO head Sequential: without BN the Linears sit at indices 0,2,4,...
+      (GELU between) -> mlp_{idx//2}; with BN the pattern is
+      [Linear, BN, GELU] so Linears sit at 0,3,6,... -> mlp_{idx//3} and BNs
+      at 1,4,... -> mlp_bn_{idx//3}. ``bn_layout`` is decided by a pre-scan
+      of the whole state dict for mlp running stats.
+    - classification_head.0 -> classification_head
+    """
+    out: List[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in ("blocks", "decoder_blocks") and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+            continue
+        if p == "mlp" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            idx = int(parts[i + 1])
+            if bn_layout:
+                if idx % 3 == 0:
+                    out.append(f"mlp_{idx // 3}")
+                elif idx % 3 == 1:
+                    out.append(f"mlp_bn_{idx // 3}")
+                else:
+                    raise KeyError(f"unexpected param at GELU slot mlp.{idx}")
+            else:
+                out.append(f"mlp_{idx // 2}")
+            i += 2
+            continue
+        if p == "classification_head" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append("classification_head")
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    return out
+
+
+def merge_params(
+    target: Any, source: Any
+) -> Tuple[Any, List[str], List[str]]:
+    """strict=False merge of ``source`` into ``target`` (both nested dicts /
+    pytrees of arrays). Returns (merged, missing_keys, unexpected_keys)."""
+    import jax
+
+    missing: List[str] = []
+    unexpected: List[str] = []
+
+    def _walk(t: Any, s: Any, path: str):
+        if isinstance(t, dict):
+            merged = {}
+            s = s if isinstance(s, dict) else {}
+            for k, v in t.items():
+                sub = f"{path}.{k}" if path else str(k)
+                if k in s:
+                    merged[k] = _walk(v, s[k], sub)
+                else:
+                    missing.append(sub)
+                    merged[k] = v
+            for k in s:
+                if k not in t:
+                    unexpected.append(f"{path}.{k}" if path else str(k))
+            return merged
+        # leaf
+        src = np.asarray(s)
+        tgt_shape = tuple(getattr(t, "shape", np.asarray(t).shape))
+        if tuple(src.shape) != tgt_shape:
+            unexpected.append(f"{path} (shape {src.shape} != {tgt_shape})")
+            return t
+        dtype = getattr(t, "dtype", np.float32)
+        return jax.numpy.asarray(src, dtype=dtype) if hasattr(t, "devices") else src.astype(dtype)
+
+    merged = _walk(jax.device_get(target) if hasattr(target, "devices") else target, source, "")
+    return merged, missing, unexpected
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    """torch.save produces a zip ('PK') or a legacy pickle beginning with a
+    protocol-2 header followed by torch's magic long; our checkpoints are
+    protocol-5 pickles of plain dicts. Try our pickle first."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"PK":
+        return True
+    try:
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return not (isinstance(payload, dict) and ("params" in payload or "state_dict" in payload and isinstance(payload.get("state_dict"), dict)))
+    except Exception:
+        return True
+
+
+def load_pretrained_into(
+    params: Any,
+    checkpoint_path: str,
+    norm_layer: str = "layernorm",
+    state_key: str = "state_dict",
+    logger=None,
+) -> Any:
+    """High-level: reference .pt OR our .ckpt pickle -> merged params
+    (reference load_model semantics, misc.py:72-96). Routed by content, not
+    extension: our checkpoints are plain pickles of nested numpy dicts; torch
+    checkpoints are zip archives (or legacy tar pickles) of tensors."""
+    if _is_torch_checkpoint(checkpoint_path):
+        sd = load_torch_state_dict(checkpoint_path, key=state_key)
+        tree = torch_to_tree(sd, norm_layer=norm_layer)["params"]
+    else:
+        from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(checkpoint_path)
+        tree = payload.get(state_key, payload.get("params", payload))
+        # our DINO checkpoints nest {'backbone', 'head'}; strip like the
+        # reference strips 'backbone.' when loading into a bare ViT
+        if isinstance(tree, dict) and set(tree) == {"backbone", "head"} and "backbone" not in params:
+            tree = tree["backbone"]
+    merged, missing, unexpected = merge_params(params, tree)
+    if logger:
+        logger.info(
+            f"Loaded pretrained weights from {checkpoint_path}: "
+            f"{len(missing)} missing, {len(unexpected)} unexpected keys"
+        )
+        if missing:
+            logger.info(f"missing: {missing[:10]}{'...' if len(missing) > 10 else ''}")
+        if unexpected:
+            logger.info(
+                f"unexpected: {unexpected[:10]}{'...' if len(unexpected) > 10 else ''}"
+            )
+    return merged

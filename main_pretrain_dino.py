@@ -1,0 +1,171 @@
+"""DINO pretraining CLI (reference surface: main_pretrain_dino.py).
+
+  python main_pretrain_dino.py --cfg configs/dino/dino_HeadCT.yaml ...
+
+Student/teacher ViTs + DINO heads trained with EMA, on-device multi-crop
+augmentation, and per-iteration LR/WD/momentum schedules
+(reference: main_pretrain_dino.py:180-260).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+from headct_foundation_tpu.config import get_config
+from headct_foundation_tpu.engines import dino_engine
+from headct_foundation_tpu.logger import create_logger
+from headct_foundation_tpu.parallel.mesh import mesh_from_config
+from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+from main_pretrain_mae import init_wandb
+
+
+def parse_option():
+    parser = argparse.ArgumentParser("DINO 3D pretraining (TPU)", add_help=False)
+    parser.add_argument("--cfg", type=str, required=True, metavar="FILE")
+    parser.add_argument("--opts", default=None, nargs="+")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="unused on TPU; kept for reference CLI parity")
+    parser.add_argument("--dist-backend", default="ici")
+    parser.add_argument("--dist-url", default="env://")
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--use_amp", action="store_true")
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--wandb_project", type=str, default=None)
+    parser.add_argument("--model_name", type=str)
+    parser.add_argument("--model_load_path", type=str)
+    parser.add_argument("--optimizer", type=str)
+    parser.add_argument("--scheduler", type=str)
+    parser.add_argument("--base_lr", type=float)
+    parser.add_argument("--min_lr", type=float)
+    parser.add_argument("--weight_decay", type=float)
+    parser.add_argument("--grad_clip", type=float)
+    parser.add_argument("--batch_size", type=int)
+    parser.add_argument("--num_workers", type=int)
+    parser.add_argument("--max_epochs", type=int)
+    parser.add_argument("--train_csv_path", type=str)
+    parser.add_argument("--val_csv_path", type=str)
+    parser.add_argument("--test_csv_path", type=str)
+
+    args, _ = parser.parse_known_args()
+    config = get_config(args)
+    return args, config
+
+
+def main(config, wandb_run, logger):
+    from headct_foundation_tpu.data.datasets import get_pretrain_dataloaders
+
+    mesh = mesh_from_config(config)
+    train_loader, val_loader, test_loader = get_pretrain_dataloaders(config)
+
+    world = jax.process_count()
+    effective_batch_size = config.DATA.BATCH_SIZE * world
+    niter_per_ep = len(train_loader)
+    total_steps = niter_per_ep * config.TRAIN.MAX_EPOCHS
+    num_warmup_steps = int(config.TRAIN.PER_WARMUP * total_steps)
+    config.defrost()
+    config.TRAIN.BASE_LR = config.TRAIN.BASE_LR * effective_batch_size / 256
+    config.TRAIN.MIN_LR = config.TRAIN.BASE_LR * 1e-3
+    config.freeze()
+    logger.info(
+        f"Effective LR: {config.TRAIN.BASE_LR}, Effective Batch: {effective_batch_size}, "
+        f"Warmup/Total steps: {num_warmup_steps}/{total_steps}, Mesh: {dict(mesh.shape)}"
+    )
+
+    rng = jax.random.PRNGKey(config.SEED + jax.process_index())
+    state, _, lr_schedule, wd_sched, momentum_sched, temp_sched = (
+        dino_engine.create_train_state(
+            config, mesh, rng, total_steps, num_warmup_steps, niter_per_ep
+        )
+    )
+
+    start_epoch = 0
+    if config.MODEL.PRETRAINED and config.MODEL.PRETRAINED != "None":
+        path = config.MODEL.PRETRAINED
+        if path.endswith((".pt", ".pth")):
+            merged = load_pretrained_into(
+                jax.device_get(state.params), path,
+                norm_layer=config.VIT.NORM_LAYER, logger=logger,
+            )
+            merged_teacher = load_pretrained_into(
+                jax.device_get(state.teacher_params), path,
+                norm_layer=config.VIT.NORM_LAYER,
+                state_key="momentum_model_state_dict", logger=logger,
+            )
+            put = lambda tgt, src: jax.tree.map(
+                lambda t, n: jax.device_put(np.asarray(n), t.sharding), tgt, src
+            )
+            state = state.replace(
+                params=put(state.params, merged),
+                teacher_params=put(state.teacher_params, merged_teacher),
+            )
+        else:
+            payload = load_checkpoint(path)
+            from headct_foundation_tpu.utils.torch_interop import merge_params
+
+            merged, _, _ = merge_params(jax.device_get(state.params), payload["params"])
+            state = state.replace(
+                params=jax.tree.map(
+                    lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                    state.params, merged,
+                )
+            )
+            if "momentum_model_state_dict" in payload:
+                mt, _, _ = merge_params(
+                    jax.device_get(state.teacher_params),
+                    payload["momentum_model_state_dict"],
+                )
+                state = state.replace(
+                    teacher_params=jax.tree.map(
+                        lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                        state.teacher_params, mt,
+                    )
+                )
+            start_epoch = payload.get("epoch", 0)
+            logger.info(f"Resumed from {path} at epoch {start_epoch}")
+
+    train_step = dino_engine.make_train_step(config, mesh)
+    eval_step = dino_engine.make_eval_step(config, mesh)
+
+    state, best_loss = dino_engine.trainer(
+        config, state, train_step, eval_step, train_loader, val_loader, mesh,
+        rng, lr_schedule, wd_sched, momentum_sched, temp_sched,
+        config.TRAIN.MAX_EPOCHS, config.TRAIN.VAL_EVERY, logger=logger,
+        start_epoch=start_epoch, wandb_run=wandb_run,
+    )
+    logger.info(f"train completed, best val loss: {best_loss:.4f}")
+
+    test_stats = dino_engine.tester(
+        config, state, eval_step, test_loader, mesh, rng, temp_sched,
+        logger=logger, wandb_run=wandb_run,
+    )
+    logger.info(f"test completed, test loss: {test_stats.get('loss', float('nan')):.4f}")
+
+
+if __name__ == "__main__":
+    from headct_foundation_tpu.parallel.mesh import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    args, config = parse_option()
+    np.random.seed(config.SEED + jax.process_index())
+
+    os.makedirs(config.LOG.OUTPUT_DIR, exist_ok=True)
+    logger = create_logger(
+        config.LOG.OUTPUT_DIR, jax.process_index(), config.LOG.FILENAME
+    )
+
+    if jax.process_index() == 0 and config.OUTPUT:
+        os.makedirs(config.OUTPUT, exist_ok=True)
+        with open(os.path.join(config.OUTPUT, "config.json"), "w") as f:
+            json.dump(config.to_dict(), f, indent=2)
+
+    wandb_run = init_wandb(config)
+    main(config, wandb_run, logger)

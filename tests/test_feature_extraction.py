@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from headct_foundation_tpu.data.nifti import save_nifti
+from headct_foundation_tpu.eval.retrieval import (
+    average_precision,
+    retrieval_map,
+    retrieval_map_per_class,
+)
+from headct_foundation_tpu.feature_extraction import FeatureExtractor
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    return FeatureExtractor(
+        img_size=24, patch_size=12, in_chans=3, hidden_size=48, mlp_dim=96,
+        num_layers=2, num_heads=4,
+    )
+
+
+def test_forward_returns_tokens_and_hidden(extractor):
+    x = np.random.RandomState(0).rand(2, 3, 24, 24, 24).astype(np.float32)
+    out, hidden = extractor(x)
+    assert out.shape == (2, 1 + 8, 48)
+    assert len(hidden) == 2
+    cls = extractor.cls_embedding(x)
+    assert cls.shape == (2, 48)
+    np.testing.assert_allclose(cls, np.asarray(out[:, 0, :]), atol=1e-6)
+
+
+def test_extract_from_files(extractor, tmp_path):
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(5):
+        vol = (rng.rand(30, 30, 30) * 3000 - 1000).astype(np.float32)
+        p = str(tmp_path / f"s{i}.nii.gz")
+        save_nifti(p, vol, np.diag([2.0, 2.0, 2.0, 1.0]))
+        paths.append(p)
+    feats = extractor.extract_from_files(paths, batch_size=2)
+    assert feats.shape == (5, 48)
+    assert np.isfinite(feats).all()
+    # deterministic across calls
+    feats2 = extractor.extract_from_files(paths, batch_size=3)
+    np.testing.assert_allclose(feats, feats2, atol=1e-4)
+
+
+def test_average_precision():
+    assert average_precision([1, 1, 0, 0]) == 1.0
+    assert average_precision([0, 0, 1]) == pytest.approx(1 / 3)
+    assert np.isnan(average_precision([0, 0, 0]))
+
+
+def test_retrieval_map_separable_clusters():
+    rng = np.random.RandomState(0)
+    # two well-separated clusters: positives around +10, negatives around -10
+    pos = rng.randn(10, 8) + 10.0
+    neg = rng.randn(20, 8) - 10.0
+    emb = np.concatenate([pos, neg])
+    labels = np.array([1] * 10 + [0] * 20)
+    assert retrieval_map(emb, labels) > 0.99
+    # random labels give much lower mAP
+    rand_labels = rng.permutation(labels)
+    assert retrieval_map(emb, rand_labels) < 0.9
+    per = retrieval_map_per_class(emb, {"a": labels, "b": rand_labels})
+    assert per["a"] > per["b"]

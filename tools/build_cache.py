@@ -27,6 +27,15 @@ import pandas as pd
 from headct_foundation_tpu.data.datasets import DiskCache
 
 
+def _respect_platform_env():
+    try:
+        from headct_foundation_tpu.parallel.mesh import respect_jax_platforms_env
+
+        respect_jax_platforms_env()
+    except Exception:
+        pass
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", required=True, help="manifest with img_path column")
@@ -65,4 +74,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    _respect_platform_env()
     main()
