@@ -1,0 +1,111 @@
+"""ctypes bindings for the native (C++) preprocessing pipeline.
+
+``native/headct_native.cpp`` implements the full load_and_preprocess chain
+(NIfTI decode incl. gzip, RAS orient, cubic B-spline 1 mm resample,
+crop-foreground, HU window stack, area resize, fp16) with no Python in the
+loop — calls release the GIL, so the ThreadedLoader's worker threads get true
+parallelism across scans (the reference leans on MONAI/ITK C extensions for
+the same reason; SURVEY.md §2.9).
+
+The shared library is compiled on first use (g++ -O3); if the toolchain or
+zlib is unavailable the datasets fall back to the numpy/scipy pipeline
+transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SRC = os.path.join(_NATIVE_DIR, "headct_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libheadct_native.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-lz"],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not os.path.exists(_SRC) or not _build():
+                _LIB_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.headct_preprocess.restype = ctypes.c_int
+            lib.headct_preprocess.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            _LIB = lib
+        except OSError:
+            _LIB_FAILED = True
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def load_and_preprocess_native(
+    path: str, roi: Sequence[int], in_channels: int
+) -> np.ndarray:
+    """Native counterpart of transforms.load_and_preprocess.
+
+    Returns [C, roi, roi, roi] float16. Raises RuntimeError on decode errors
+    (callers shield errors the same way as the python path).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    r = int(roi[0])
+    assert all(int(x) == r for x in roi), "native path assumes cubic ROI"
+    out = np.empty(in_channels * r * r * r, dtype=np.uint16)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.headct_preprocess(
+        path.encode(),
+        r,
+        in_channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        err,
+        len(err),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native preprocess failed for {path}: {err.value.decode()}")
+    return out.view(np.float16).reshape(in_channels, r, r, r)

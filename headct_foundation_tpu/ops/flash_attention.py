@@ -1,0 +1,131 @@
+"""Pallas TPU flash attention.
+
+Blocked online-softmax attention (Dao et al., arXiv 2205.14135) for the ViT
+attention path — the TPU counterpart of the reference's
+``F.scaled_dot_product_attention`` flash path (reference:
+src/models/attentionblock.py:61).
+
+Kernel shape: grid (batch x heads, q-blocks); each program streams KV blocks
+through VMEM with a running (max, sum, accumulator) triple, so peak VMEM is
+O(BLOCK_Q x BLOCK_K + BLOCK_Q x D) regardless of sequence length — the
+[T, T] score matrix is never materialized. This matters for the
+high-resolution stretch configs (192^3 -> 4096 tokens) where materializing
+scores costs 64 MB per head; for the default 513-token sequences XLA's fused
+attention is already near-roofline and remains the default backend
+(ops/attention.py).
+
+Sequences are padded to the block size with additive -inf masking derived
+from in-kernel iota, so any T works.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+BLOCK_K = 128
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(scale: float, block_k: int, t_real: int):
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]
+        q = q_ref[0].astype(jnp.float32) * scale
+        bq, d = q.shape
+        t_padded = k_ref.shape[1]
+        num_kv = t_padded // block_k
+
+        q_idx = pl.program_id(1)
+        q_pos = q_idx * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            kv_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+
+        out = acc / jnp.maximum(l, 1e-30)
+        out = jnp.where(q_pos < t_real, out, 0.0)  # zero pure-padding rows
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Flash attention over [B, T, H, D] tensors (BTHD layout, matching
+    jax.nn.dot_product_attention)."""
+    B, T, H, D = q.shape
+    if scale is None:
+        scale = float(D) ** -0.5
+
+    block_q = min(BLOCK_Q, _round_up(T, 8))
+    block_k = min(BLOCK_K, _round_up(T, 8))
+    t_pad = _round_up(T, max(block_q, block_k))
+
+    def _prep(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
+        if t_pad != T:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
+        return x
+
+    qp, kp, vp = _prep(q), _prep(k), _prep(v)
+
+    grid = (B * H, t_pad // block_q)
+    qo_spec = pl.BlockSpec(
+        (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, t_pad, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        _make_kernel(scale, block_k, T),
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=qo_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
+        interpret=jax.default_backend() == "cpu",  # tests on virtual CPU mesh
+    )(qp, kp, vp)
+
+    out = out[:, :T, :].reshape(B, H, T, D)
+    return jnp.swapaxes(out, 1, 2)

@@ -100,6 +100,7 @@ def lion_update_leaf(
             jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         ),
+        interpret=jax.default_backend() == "cpu",  # tests on virtual CPU mesh
     )(scalars, p2, g2, m2)
 
     delta = delta.reshape(-1)[:n].reshape(orig_shape).astype(orig_dtype)

@@ -1,0 +1,580 @@
+// headct_native — native preprocessing pipeline for head-CT NIfTI volumes.
+//
+// C++ counterpart of headct_foundation_tpu/data/transforms.load_and_preprocess
+// (which itself replaces the reference's MONAI loading_transforms chain,
+// reference: src/data/transforms.py:108-178):
+//
+//   read (.nii / .nii.gz via zlib) -> NIfTI-1 header parse (+scl slope/inter)
+//   -> RAS reorientation -> cubic B-spline resample to 1 mm isotropic
+//   (scipy.ndimage.zoom order-3 semantics incl. the causal/anticausal
+//   prefilter, mode 'nearest') -> crop-foreground (x > 0 bounding box)
+//   -> HU window stack ((40,80), (80,200), (600,2800) or single (40,+-150))
+//   -> 'area' resize (adaptive averaging) to the ROI -> float16.
+//
+// Exposed as a C ABI for ctypes (data/native_loader.py). All entry points
+// release no Python state (no Python here at all), so Python thread pools get
+// true parallelism across scans.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 headct_native.cpp -o libheadct_native.so -lz
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cmath>
+#include <algorithm>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// IO
+// ---------------------------------------------------------------------------
+
+bool read_file_raw(const char* path, std::vector<uint8_t>& out, std::string& err) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) { err = "cannot open file"; return false; }
+    std::fseek(f, 0, SEEK_END);
+    long n = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    out.resize(static_cast<size_t>(n));
+    size_t got = std::fread(out.data(), 1, out.size(), f);
+    std::fclose(f);
+    if (got != out.size()) { err = "short read"; return false; }
+    return true;
+}
+
+bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out, std::string& err) {
+    z_stream zs{};
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) { err = "inflateInit failed"; return false; }
+    out.clear();
+    out.reserve(in.size() * 4);
+    std::vector<uint8_t> buf(1 << 20);
+    zs.next_in = const_cast<uint8_t*>(in.data());
+    zs.avail_in = static_cast<uInt>(in.size());
+    int ret = Z_OK;
+    while (ret != Z_STREAM_END) {
+        zs.next_out = buf.data();
+        zs.avail_out = static_cast<uInt>(buf.size());
+        ret = inflate(&zs, Z_NO_FLUSH);
+        if (ret != Z_OK && ret != Z_STREAM_END) {
+            inflateEnd(&zs);
+            err = "inflate failed";
+            return false;
+        }
+        out.insert(out.end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+        if (ret != Z_STREAM_END && zs.avail_in == 0 && zs.avail_out != 0) {
+            inflateEnd(&zs);
+            err = "truncated gzip stream";
+            return false;
+        }
+    }
+    inflateEnd(&zs);
+    return true;
+}
+
+// ---------------------------------------------------------------------------
+// NIfTI-1 parsing
+// ---------------------------------------------------------------------------
+
+struct Nifti {
+    int shape[3];
+    double affine[3][4];
+    std::vector<float> data;  // Fortran order flattened to C index (x fastest)
+};
+
+template <typename T>
+T load_le(const uint8_t* p) {
+    T v;
+    std::memcpy(&v, p, sizeof(T));
+    return v;
+}
+
+bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& img, std::string& err) {
+    if (raw.size() < 352) { err = "file too small for NIfTI-1 header"; return false; }
+    const uint8_t* h = raw.data();
+    int32_t sizeof_hdr = load_le<int32_t>(h + 0);
+    if (sizeof_hdr != 348) { err = "not little-endian NIfTI-1"; return false; }
+    if (std::memcmp(h + 344, "n+1", 3) != 0 && std::memcmp(h + 344, "ni1", 3) != 0) {
+        err = "bad NIfTI magic";
+        return false;
+    }
+
+    int16_t dim[8];
+    for (int i = 0; i < 8; ++i) dim[i] = load_le<int16_t>(h + 40 + 2 * i);
+    int ndim = dim[0];
+    if (ndim < 3) { err = "expected >=3D volume"; return false; }
+    size_t extra = 1;
+    for (int i = 4; i <= ndim; ++i) extra *= std::max<int>(dim[i], 1);
+    // accept trailing singleton dims only (matches python reader's [..., 0])
+    int16_t datatype = load_le<int16_t>(h + 70);
+    float pixdim[8];
+    for (int i = 0; i < 8; ++i) pixdim[i] = load_le<float>(h + 76 + 4 * i);
+    int vox_offset = static_cast<int>(load_le<float>(h + 108));
+    float scl_slope = load_le<float>(h + 112);
+    float scl_inter = load_le<float>(h + 116);
+    int16_t qform_code = load_le<int16_t>(h + 252);
+    int16_t sform_code = load_le<int16_t>(h + 254);
+
+    img.shape[0] = dim[1];
+    img.shape[1] = dim[2];
+    img.shape[2] = dim[3];
+    size_t n = static_cast<size_t>(dim[1]) * dim[2] * dim[3];
+
+    // affine
+    if (sform_code > 0) {
+        for (int r = 0; r < 3; ++r)
+            for (int c = 0; c < 4; ++c)
+                img.affine[r][c] = load_le<float>(h + 280 + 16 * r + 4 * c);
+    } else if (qform_code > 0) {
+        double b = load_le<float>(h + 256), c = load_le<float>(h + 260),
+               d = load_le<float>(h + 264);
+        double a2 = 1.0 - (b * b + c * c + d * d);
+        double a = std::sqrt(std::max(a2, 0.0));
+        double qfac = pixdim[0] < 0 ? -1.0 : 1.0;
+        double R[3][3] = {
+            {a * a + b * b - c * c - d * d, 2 * b * c - 2 * a * d, 2 * b * d + 2 * a * c},
+            {2 * b * c + 2 * a * d, a * a + c * c - b * b - d * d, 2 * c * d - 2 * a * b},
+            {2 * b * d - 2 * a * c, 2 * c * d + 2 * a * b, a * a + d * d - b * b - c * c},
+        };
+        double s[3] = {pixdim[1], pixdim[2], pixdim[3] * qfac};
+        for (int r = 0; r < 3; ++r) {
+            for (int cc = 0; cc < 3; ++cc) img.affine[r][cc] = R[r][cc] * s[cc];
+            img.affine[r][3] = load_le<float>(h + 268 + 4 * r);
+        }
+    } else {
+        for (int r = 0; r < 3; ++r)
+            for (int cc = 0; cc < 4; ++cc) img.affine[r][cc] = 0.0;
+        img.affine[0][0] = pixdim[1];
+        img.affine[1][1] = pixdim[2];
+        img.affine[2][2] = pixdim[3];
+    }
+
+    // data (first 3D volume)
+    img.data.resize(n);
+    const uint8_t* p = raw.data() + vox_offset;
+    size_t avail = raw.size() - vox_offset;
+
+    auto need = [&](size_t bytes) {
+        if (avail < bytes) { err = "truncated voxel data"; return false; }
+        return true;
+    };
+    switch (datatype) {
+        case 2: {  // uint8
+            if (!need(n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = p[i];
+            break;
+        }
+        case 4: {  // int16
+            if (!need(2 * n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<int16_t>(p + 2 * i);
+            break;
+        }
+        case 8: {  // int32
+            if (!need(4 * n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<float>(load_le<int32_t>(p + 4 * i));
+            break;
+        }
+        case 16: {  // float32
+            if (!need(4 * n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<float>(p + 4 * i);
+            break;
+        }
+        case 64: {  // float64
+            if (!need(8 * n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<float>(load_le<double>(p + 8 * i));
+            break;
+        }
+        case 256: {  // int8
+            if (!need(n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<int8_t>(p[i]);
+            break;
+        }
+        case 512: {  // uint16
+            if (!need(2 * n)) return false;
+            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<uint16_t>(p + 2 * i);
+            break;
+        }
+        default:
+            err = "unsupported NIfTI datatype " + std::to_string(datatype);
+            return false;
+    }
+
+    if ((scl_slope != 0.0f && scl_slope != 1.0f) || scl_inter != 0.0f) {
+        float slope = scl_slope != 0.0f ? scl_slope : 1.0f;
+        for (auto& v : img.data) v = v * slope + scl_inter;
+    }
+    return true;
+}
+
+// ---------------------------------------------------------------------------
+// Volume (C-contiguous [X, Y, Z] with x the slowest — numpy layout)
+// ---------------------------------------------------------------------------
+
+struct Vol {
+    int nx = 0, ny = 0, nz = 0;
+    std::vector<float> v;
+    float& at(int x, int y, int z) { return v[(static_cast<size_t>(x) * ny + y) * nz + z]; }
+    float at(int x, int y, int z) const {
+        return v[(static_cast<size_t>(x) * ny + y) * nz + z];
+    }
+};
+
+// Nifti data is Fortran-ordered (x fastest); convert to numpy C order.
+Vol to_c_order(const Nifti& img) {
+    Vol out;
+    out.nx = img.shape[0];
+    out.ny = img.shape[1];
+    out.nz = img.shape[2];
+    out.v.resize(img.data.size());
+    for (int z = 0; z < out.nz; ++z)
+        for (int y = 0; y < out.ny; ++y)
+            for (int x = 0; x < out.nx; ++x)
+                out.at(x, y, z) =
+                    img.data[static_cast<size_t>(z) * out.ny * out.nx +
+                             static_cast<size_t>(y) * out.nx + x];
+    return out;
+}
+
+// RAS reorientation (same algorithm as python orientation_ras).
+void orient_ras(Vol& vol, double affine[3][4]) {
+    int nx[3] = {vol.nx, vol.ny, vol.nz};
+    // dominant world axis per input axis
+    int best[3];
+    for (int j = 0; j < 3; ++j) {
+        double m = -1;
+        for (int w = 0; w < 3; ++w) {
+            double a = std::fabs(affine[w][j]);
+            if (a > m) { m = a; best[j] = w; }
+        }
+    }
+    // flips
+    bool flip[3];
+    for (int j = 0; j < 3; ++j) flip[j] = affine[best[j]][j] < 0;
+    // permutation: perm[world] = input axis
+    int perm[3];
+    for (int w = 0; w < 3; ++w)
+        for (int j = 0; j < 3; ++j)
+            if (best[j] == w) perm[w] = j;
+
+    Vol out;
+    int dims[3] = {nx[perm[0]], nx[perm[1]], nx[perm[2]]};
+    out.nx = dims[0]; out.ny = dims[1]; out.nz = dims[2];
+    out.v.resize(vol.v.size());
+    int idx[3];
+    for (int x = 0; x < out.nx; ++x) {
+        for (int y = 0; y < out.ny; ++y) {
+            for (int z = 0; z < out.nz; ++z) {
+                int o[3] = {x, y, z};
+                for (int w = 0; w < 3; ++w) {
+                    int j = perm[w];
+                    int v = o[w];
+                    if (flip[j]) v = nx[j] - 1 - v;
+                    idx[j] = v;
+                }
+                out.at(x, y, z) = vol.at(idx[0], idx[1], idx[2]);
+            }
+        }
+    }
+    // new spacing follows the permutation (voxel sizes along world axes)
+    double sp[3];
+    for (int j = 0; j < 3; ++j) {
+        double s = 0;
+        for (int w = 0; w < 3; ++w) s += affine[w][j] * affine[w][j];
+        sp[j] = std::sqrt(s);
+    }
+    double new_sp[3] = {sp[perm[0]], sp[perm[1]], sp[perm[2]]};
+    for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 4; ++c) affine[r][c] = 0;
+    for (int w = 0; w < 3; ++w) affine[w][w] = new_sp[w];
+    vol = std::move(out);
+}
+
+// ---------------------------------------------------------------------------
+// Cubic B-spline resample (scipy.ndimage.zoom order=3, mode='nearest')
+// ---------------------------------------------------------------------------
+
+// causal/anticausal prefilter along one axis (in place), pole for cubic spline
+void spline_filter_axis(std::vector<float>& line) {
+    const double pole = std::sqrt(3.0) - 2.0;
+    const int n = static_cast<int>(line.size());
+    if (n < 2) return;
+    const double lambda = (1.0 - pole) * (1.0 - 1.0 / pole);
+    for (int i = 0; i < n; ++i) line[i] = static_cast<float>(line[i] * lambda);
+    // causal init (mirror boundary, matching scipy's default for zoom prefilter)
+    double zn = pole;
+    double sum = line[0];
+    int horizon = std::min(n, static_cast<int>(std::ceil(-30.0 / std::log(std::fabs(pole)))));
+    for (int i = 1; i < horizon; ++i) {
+        sum += zn * line[i];
+        zn *= pole;
+    }
+    double prev = sum;
+    line[0] = static_cast<float>(prev);
+    for (int i = 1; i < n; ++i) {
+        prev = line[i] + pole * prev;
+        line[i] = static_cast<float>(prev);
+    }
+    // anticausal init
+    prev = (pole / (pole * pole - 1.0)) * (pole * line[n - 2] + line[n - 1]);
+    line[n - 1] = static_cast<float>(prev);
+    for (int i = n - 2; i >= 0; --i) {
+        prev = pole * (prev - line[i]);
+        line[i] = static_cast<float>(prev);
+    }
+}
+
+inline void cubic_weights(double t, double w[4]) {
+    // cubic B-spline kernel weights for fractional offset t in [0,1)
+    double t2 = t * t, t3 = t2 * t;
+    w[0] = (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0;
+    w[1] = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0;
+    w[2] = (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0;
+    w[3] = t3 / 6.0;
+}
+
+// Resample one axis by factor (out size = round(in * zoom) scipy-style).
+// scipy.zoom output coordinate mapping: in = out * (in_size - 1)/(out_size - 1)
+// ... actually scipy uses in = out / zoom_actual where zoom_actual =
+// (out_size - 1)/(in_size - 1) for grid-aligned endpoints ("grid" mode False).
+Vol zoom_cubic(const Vol& in, double zf[3]) {
+    int on[3] = {
+        static_cast<int>(std::lround(in.nx * zf[0])),
+        static_cast<int>(std::lround(in.ny * zf[1])),
+        static_cast<int>(std::lround(in.nz * zf[2])),
+    };
+    for (int i = 0; i < 3; ++i) on[i] = std::max(on[i], 1);
+
+    // prefilter along each axis
+    Vol f = in;
+    {
+        std::vector<float> line;
+        // x axis
+        line.resize(in.nx);
+        for (int y = 0; y < in.ny; ++y)
+            for (int z = 0; z < in.nz; ++z) {
+                for (int x = 0; x < in.nx; ++x) line[x] = f.at(x, y, z);
+                spline_filter_axis(line);
+                for (int x = 0; x < in.nx; ++x) f.at(x, y, z) = line[x];
+            }
+        // y axis
+        line.resize(in.ny);
+        for (int x = 0; x < in.nx; ++x)
+            for (int z = 0; z < in.nz; ++z) {
+                for (int y = 0; y < in.ny; ++y) line[y] = f.at(x, y, z);
+                spline_filter_axis(line);
+                for (int y = 0; y < in.ny; ++y) f.at(x, y, z) = line[y];
+            }
+        // z axis
+        line.resize(in.nz);
+        for (int x = 0; x < in.nx; ++x)
+            for (int y = 0; y < in.ny; ++y) {
+                for (int z = 0; z < in.nz; ++z) line[z] = f.at(x, y, z);
+                spline_filter_axis(line);
+                for (int z = 0; z < in.nz; ++z) f.at(x, y, z) = line[z];
+            }
+    }
+
+    Vol out;
+    out.nx = on[0]; out.ny = on[1]; out.nz = on[2];
+    out.v.resize(static_cast<size_t>(on[0]) * on[1] * on[2]);
+
+    int inn[3] = {in.nx, in.ny, in.nz};
+    // scipy zoom coordinate map: in_coord = out_coord * (in-1)/(out-1)
+    auto coord = [&](int axis, int o) {
+        if (on[axis] == 1) return 0.0;
+        return static_cast<double>(o) * (inn[axis] - 1) / (on[axis] - 1);
+    };
+    auto clampi = [](int v, int lo, int hi) { return std::min(std::max(v, lo), hi); };
+
+    for (int x = 0; x < on[0]; ++x) {
+        double cx = coord(0, x);
+        int ix = static_cast<int>(std::floor(cx));
+        double wx[4];
+        cubic_weights(cx - ix, wx);
+        for (int y = 0; y < on[1]; ++y) {
+            double cy = coord(1, y);
+            int iy = static_cast<int>(std::floor(cy));
+            double wy[4];
+            cubic_weights(cy - iy, wy);
+            for (int z = 0; z < on[2]; ++z) {
+                double cz = coord(2, z);
+                int iz = static_cast<int>(std::floor(cz));
+                double wz[4];
+                cubic_weights(cz - iz, wz);
+                double acc = 0.0;
+                for (int a = -1; a <= 2; ++a) {
+                    int xi = clampi(ix + a, 0, in.nx - 1);
+                    double wa = wx[a + 1];
+                    for (int b = -1; b <= 2; ++b) {
+                        int yi = clampi(iy + b, 0, in.ny - 1);
+                        double wb = wy[b + 1];
+                        double wab = wa * wb;
+                        for (int c = -1; c <= 2; ++c) {
+                            int zi = clampi(iz + c, 0, in.nz - 1);
+                            acc += wab * wz[c + 1] * f.at(xi, yi, zi);
+                        }
+                    }
+                }
+                out.at(x, y, z) = static_cast<float>(acc);
+            }
+        }
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Crop foreground, window, area resize
+// ---------------------------------------------------------------------------
+
+void crop_foreground(Vol& vol) {
+    int lo[3] = {vol.nx, vol.ny, vol.nz};
+    int hi[3] = {0, 0, 0};
+    for (int x = 0; x < vol.nx; ++x)
+        for (int y = 0; y < vol.ny; ++y)
+            for (int z = 0; z < vol.nz; ++z)
+                if (vol.at(x, y, z) > 0.0f) {
+                    lo[0] = std::min(lo[0], x); hi[0] = std::max(hi[0], x);
+                    lo[1] = std::min(lo[1], y); hi[1] = std::max(hi[1], y);
+                    lo[2] = std::min(lo[2], z); hi[2] = std::max(hi[2], z);
+                }
+    if (lo[0] > hi[0]) return;  // all background: keep full volume
+    Vol out;
+    out.nx = hi[0] - lo[0] + 1;
+    out.ny = hi[1] - lo[1] + 1;
+    out.nz = hi[2] - lo[2] + 1;
+    out.v.resize(static_cast<size_t>(out.nx) * out.ny * out.nz);
+    for (int x = 0; x < out.nx; ++x)
+        for (int y = 0; y < out.ny; ++y)
+            for (int z = 0; z < out.nz; ++z)
+                out.at(x, y, z) = vol.at(x + lo[0], y + lo[1], z + lo[2]);
+    vol = std::move(out);
+}
+
+// adaptive average pooling along one axis ('area' resize)
+Vol area_resize(const Vol& in, int ox, int oy, int oz) {
+    auto pool_axis = [](const Vol& v, int axis, int osize) {
+        int dims[3] = {v.nx, v.ny, v.nz};
+        int isize = dims[axis];
+        Vol out;
+        dims[axis] = osize;
+        out.nx = dims[0]; out.ny = dims[1]; out.nz = dims[2];
+        out.v.assign(static_cast<size_t>(dims[0]) * dims[1] * dims[2], 0.0f);
+        for (int a = 0; a < out.nx; ++a)
+            for (int b = 0; b < out.ny; ++b)
+                for (int c = 0; c < out.nz; ++c) {
+                    int o[3] = {a, b, c};
+                    int s = (o[axis] * isize) / osize;
+                    int e = ((o[axis] + 1) * isize + osize - 1) / osize;
+                    double acc = 0;
+                    int src[3] = {a, b, c};
+                    for (int i = s; i < e; ++i) {
+                        src[axis] = i;
+                        acc += v.at(src[0], src[1], src[2]);
+                    }
+                    out.at(a, b, c) = static_cast<float>(acc / (e - s));
+                }
+        return out;
+    };
+    Vol out = in;
+    if (in.nx != ox) out = pool_axis(out, 0, ox);
+    if (out.ny != oy) out = pool_axis(out, 1, oy);
+    if (out.nz != oz) out = pool_axis(out, 2, oz);
+    return out;
+}
+
+inline uint16_t f32_to_f16_bits(float f) {
+    // round-to-nearest-even float32 -> float16 (no NaN/inf care needed:
+    // windowed outputs are in [0, 1])
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t sign = (x >> 16) & 0x8000u;
+    int32_t exp = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
+    uint32_t mant = x & 0x7FFFFFu;
+    if (exp <= 0) {
+        if (exp < -10) return static_cast<uint16_t>(sign);
+        mant |= 0x800000u;
+        uint32_t shift = static_cast<uint32_t>(14 - exp);
+        uint32_t half = mant >> shift;
+        uint32_t rem = mant & ((1u << shift) - 1);
+        uint32_t halfway = 1u << (shift - 1);
+        if (rem > halfway || (rem == halfway && (half & 1))) half++;
+        return static_cast<uint16_t>(sign | half);
+    }
+    if (exp >= 31) return static_cast<uint16_t>(sign | 0x7C00u);
+    uint32_t half = (static_cast<uint32_t>(exp) << 10) | (mant >> 13);
+    uint32_t rem = mant & 0x1FFFu;
+    if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+    return static_cast<uint16_t>(sign | half);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Preprocess one scan into out[in_channels * roi^3] float16 bits.
+// Returns 0 on success; on failure writes a message into err.
+int headct_preprocess(const char* path, int roi, int in_channels,
+                      uint16_t* out, char* err, int errlen) {
+    std::string e;
+    auto fail = [&](const std::string& msg) {
+        std::snprintf(err, errlen, "%s", msg.c_str());
+        return 1;
+    };
+    std::vector<uint8_t> raw;
+    if (!read_file_raw(path, raw, e)) return fail(e);
+    if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+        std::vector<uint8_t> inflated;
+        if (!gunzip(raw, inflated, e)) return fail(e);
+        raw = std::move(inflated);
+    }
+    Nifti img;
+    if (!parse_nifti(raw, img, e)) return fail(e);
+    Vol vol = to_c_order(img);
+    img.data.clear();
+    img.data.shrink_to_fit();
+
+    orient_ras(vol, img.affine);
+
+    double zf[3] = {img.affine[0][0], img.affine[1][1], img.affine[2][2]};
+    bool need_zoom = false;
+    for (int i = 0; i < 3; ++i) {
+        if (std::fabs(zf[i] - 1.0) > 1e-3) need_zoom = true;
+    }
+    if (need_zoom) vol = zoom_cubic(vol, zf);
+
+    crop_foreground(vol);
+
+    // windows (reference: src/data/transforms.py:120-134)
+    struct Win { float lo, hi; };
+    std::vector<Win> wins;
+    if (in_channels == 1) {
+        wins = {{40.f - 150.f, 40.f + 150.f}};
+    } else if (in_channels == 3) {
+        wins = {{0.f, 80.f}, {-20.f, 180.f}, {-800.f, 2000.f}};
+    } else {
+        return fail("unsupported in_channels");
+    }
+
+    size_t roi3 = static_cast<size_t>(roi) * roi * roi;
+    for (size_t ci = 0; ci < wins.size(); ++ci) {
+        Vol w = vol;
+        float lo = wins[ci].lo, hi = wins[ci].hi, inv = 1.0f / (hi - lo);
+        for (auto& v : w.v) v = std::min(std::max((v - lo) * inv, 0.0f), 1.0f);
+        Vol r = area_resize(w, roi, roi, roi);
+        for (size_t i = 0; i < roi3; ++i)
+            out[ci * roi3 + i] = f32_to_f16_bits(r.v[i]);
+    }
+    return 0;
+}
+
+int headct_native_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,52 @@
+"""Pallas kernel correctness (interpreter-compatible on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from headct_foundation_tpu.ops.flash_attention import flash_attention
+from headct_foundation_tpu.ops.lion_kernel import lion_update_leaf
+
+
+def _ref_attention(q, k, v, scale=None):
+    return np.asarray(jax.nn.dot_product_attention(q, k, v, scale=scale))
+
+
+@pytest.mark.parametrize("t", [64, 128, 129, 513])
+def test_flash_attention_matches_xla(t):
+    rng = np.random.RandomState(0)
+    B, H, D = 2, 3, 32
+    q = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    ours = np.asarray(flash_attention(q, k, v))
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_custom_scale():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 70, 2, 16), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(1, 70, 2, 16), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(1, 70, 2, 16), dtype=jnp.float32)
+    ours = np.asarray(flash_attention(q, k, v, scale=0.5))
+    ref = _ref_attention(q, k, v, scale=0.5)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_lion_kernel_matches_formula():
+    rng = np.random.RandomState(2)
+    shape = (700,)  # non-multiple of block to exercise padding
+    p = jnp.asarray(rng.randn(*shape), dtype=jnp.float32)
+    g = jnp.asarray(rng.randn(*shape), dtype=jnp.float32)
+    m = jnp.asarray(rng.randn(*shape), dtype=jnp.float32)
+    lr, wd, b1, b2 = 0.01, 0.1, 0.9, 0.99
+
+    delta, m_new = lion_update_leaf(p, g, m, jnp.asarray(lr), jnp.asarray(wd), b1, b2)
+
+    ref_update = np.sign(np.asarray(m) * b1 + (1 - b1) * np.asarray(g))
+    ref_delta = -lr * wd * np.asarray(p) - lr * ref_update
+    ref_m = np.asarray(m) * b2 + (1 - b2) * np.asarray(g)
+    np.testing.assert_allclose(np.asarray(delta), ref_delta, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_new), ref_m, atol=1e-6)
