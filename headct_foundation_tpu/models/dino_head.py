@@ -14,6 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from headct_foundation_tpu.models.attention import _gelu
 from headct_foundation_tpu.models.layers import trunc_normal_init
 
 
@@ -70,7 +71,7 @@ class DINOHead(nn.Module):
                     dtype=self.dtype,
                     name="mlp_bn_0",
                 )(x)
-            x = nn.gelu(x, approximate=False)
+            x = _gelu(x)
             for i in range(nlayers - 2):
                 x = nn.Dense(self.hidden_dim, name=f"mlp_{i + 1}", **dense_kwargs)(x)
                 if self.use_bn:
@@ -81,7 +82,7 @@ class DINOHead(nn.Module):
                         dtype=self.dtype,
                         name=f"mlp_bn_{i + 1}",
                     )(x)
-                x = nn.gelu(x, approximate=False)
+                x = _gelu(x)
             x = nn.Dense(self.bottleneck_dim, name=f"mlp_{nlayers - 1}", **dense_kwargs)(x)
 
         # L2-normalize in fp32 (reference: dino_head.py:39).

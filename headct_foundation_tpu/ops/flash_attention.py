@@ -37,6 +37,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Whole-sequence in-VMEM attention (short sequences)
+#
+# At T ~ 513, XLA's attention is HBM-bound on the materialized [T, T] score
+# matrix (for ViT-B MAE decoder shapes thats ~400 MB of fp32 traffic per
+# layer). Here each (batch*head) program holds Q, K, V (~200 KB) AND the
+# score matrix (~1 MB fp32) entirely in VMEM: scores never touch HBM.
+# ---------------------------------------------------------------------------
+
+def _vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
+    q = q_ref[0].astype(jnp.float32) * scale          # [Tp, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                  # [Tp, Tp]
+    tp = s.shape[0]
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _vmem_attention(q, k, v, scale: float) -> jax.Array:
+    B, T, H, D = q.shape
+    t_pad = _round_up(T, 128)
+
+    def _prep(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
+        if t_pad != T:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
+        return x
+
+    qp, kp, vp = _prep(q), _prep(k), _prep(v)
+    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_vmem_kernel, scale=scale, t_real=T),
+        grid=(B * H,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp)
+    return jnp.swapaxes(out[:, :T, :].reshape(B, H, T, D), 1, 2)
+
+
+# Sequences up to this length take the whole-sequence VMEM path
+# (scores [T_pad, T_pad] fp32 must fit VMEM: 1024^2 x 4B = 4 MB).
+VMEM_PATH_MAX_T = 1024
+
+
 def _make_kernel(scale: float, block_k: int, t_real: int):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]
@@ -97,6 +153,9 @@ def flash_attention(
     B, T, H, D = q.shape
     if scale is None:
         scale = float(D) ** -0.5
+
+    if T <= VMEM_PATH_MAX_T:
+        return _vmem_attention(q, k, v, scale)
 
     block_q = min(BLOCK_Q, _round_up(T, 8))
     block_k = min(BLOCK_K, _round_up(T, 8))

@@ -63,8 +63,44 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path):  # orbax checkpoint directory
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend — async, multi-host-safe checkpointing for large states.
+# The pickle format above stays the default (single-file, torch-era UX);
+# orbax is selected by passing a directory path.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(
+    state: Any, epoch: int, best_loss: float, dir_add: str, name: str = "ckpt",
+    logger=None,
+) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(dir_add, name))
+    payload = {
+        "epoch": int(epoch),
+        "best_loss": float(best_loss),
+        "step": int(jax.device_get(state.step)),
+        "params": jax.device_get(state.params),
+        "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    if logger:
+        logger.info(f"Saving orbax checkpoint {path}")
+    return path
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
 
 
 def restore_state(

@@ -159,6 +159,11 @@ if __name__ == "__main__":
     from headct_foundation_tpu.parallel.mesh import respect_jax_platforms_env
 
     respect_jax_platforms_env()
+    # Multi-host SPMD: initialize the jax distributed runtime when a
+    # coordinator is configured (TPU pods / multi-slice; single-host runs
+    # skip this). The reference's torchrun env:// rendezvous equivalent.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     args, config = parse_option()
     np.random.seed(config.SEED + jax.process_index())
 

@@ -90,7 +90,8 @@ class OracleViT(nn.Module):
         return self.norm(x)
 
 
-def test_vit_forward_parity_with_torch_oracle():
+def test_vit_forward_parity_with_torch_oracle(monkeypatch):
+    monkeypatch.setenv("HEADCT_EXACT_GELU", "1")  # match torch's erf GELU
     torch.manual_seed(0)
     oracle = OracleViT().eval()
     sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
