@@ -93,6 +93,148 @@ def _vmem_attention(q, k, v, scale: float) -> jax.Array:
 VMEM_PATH_MAX_T = 1024
 
 
+# ---------------------------------------------------------------------------
+# Differentiable fused attention (custom VJP, whole-sequence VMEM path)
+#
+# XLA's attention backward stores the [T, T] probability matrix as a residual
+# and streams it back through HBM; here the backward kernel RECOMPUTES
+# P = exp(s QK^T - lse) from (q, k, lse) in VMEM and emits dq/dk/dv in one
+# pass — the classic flash-attention backward, specialized to sequences whose
+# score matrix fits VMEM.
+# ---------------------------------------------------------------------------
+
+def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    tp = s.shape[0]
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, t_real):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    tp = s.shape[0]
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # [Tp, Tp], exact softmax probabilities
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # P^T dO
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # dO V^T
+    delta = jnp.sum(do * o, axis=1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # dS^T Q
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _prep_bhtd(x, B, H, T, D, t_pad):
+    x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
+    if t_pad != T:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
+    return x
+
+
+def _unprep(x, B, H, T, D):
+    return jnp.swapaxes(x[:, :T, :].reshape(B, H, T, D), 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, scale=None):
+    """Differentiable fused attention [B, T, H, D] (T <= VMEM_PATH_MAX_T)."""
+    o, _ = _fused_fwd_impl(q, k, v, scale)
+    return o
+
+
+def _fused_fwd_impl(q, k, v, scale):
+    B, T, H, D = q.shape
+    s = float(D) ** -0.5 if scale is None else scale
+    t_pad = _round_up(T, 128)
+    qp = _prep_bhtd(q, B, H, T, D, t_pad)
+    kp = _prep_bhtd(k, B, H, T, D, t_pad)
+    vp = _prep_bhtd(v, B, H, T, D, t_pad)
+    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_vmem_fwd_kernel, scale=s, t_real=T),
+        grid=(B * H,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, t_pad), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp)
+    return _unprep(o, B, H, T, D), (qp, kp, vp, o, lse)
+
+
+def _fused_fwd(q, k, v, scale):
+    out, res = _fused_fwd_impl(q, k, v, scale)
+    B, T, H, D = q.shape
+    return out, (res, (B, T, H, D))
+
+
+def _fused_bwd(scale, residuals, g):
+    (qp, kp, vp, o, lse), (B, T, H, D) = residuals
+    s = float(D) ** -0.5 if scale is None else scale
+    t_pad = qp.shape[1]
+    gp = _prep_bhtd(g, B, H, T, D, t_pad)
+    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_vmem_bwd_kernel, scale=s, t_real=T),
+        grid=(B * H,),
+        in_specs=[spec, spec, spec, spec, spec, lse_spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, t_pad, D), qp.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), kp.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), vp.dtype),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp, o, gp, lse)
+    return (
+        _unprep(dq, B, H, T, D),
+        _unprep(dk, B, H, T, D),
+        _unprep(dv, B, H, T, D),
+    )
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 def _make_kernel(scale: float, block_k: int, t_real: int):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]

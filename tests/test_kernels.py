@@ -50,3 +50,32 @@ def test_lion_kernel_matches_formula():
     ref_m = np.asarray(m) * b2 + (1 - b2) * np.asarray(g)
     np.testing.assert_allclose(np.asarray(delta), ref_delta, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m_new), ref_m, atol=1e-6)
+
+
+def test_fused_attention_grads_match_xla():
+    from headct_foundation_tpu.ops.flash_attention import fused_attention
+
+    rng = np.random.RandomState(3)
+    B, T, H, D = 2, 129, 3, 32
+    q = jnp.asarray(rng.randn(B, T, H, D), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(B, T, H, D), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(B, T, H, D), dtype=jnp.float32)
+    w = jnp.asarray(rng.randn(B, T, H, D), dtype=jnp.float32)  # cotangent mix
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, None) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * w)
+
+    o1 = np.asarray(fused_attention(q, k, v, None))
+    o2 = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(o1, o2, atol=2e-5, rtol=1e-4)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
