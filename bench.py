@@ -119,5 +119,53 @@ def main() -> None:
     )
 
 
+def feature_latency() -> None:
+    """p50 per-scan feature-extract latency (BASELINE.json's second metric):
+    synthetic NIfTI -> notebook-order preprocessing -> ViT-B CLS embedding."""
+    import tempfile
+
+    from headct_foundation_tpu.data.nifti import save_nifti
+    from headct_foundation_tpu.feature_extraction import FeatureExtractor
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(12):
+        vol = (rng.rand(220, 220, 140) * 3000 - 1000).astype(np.float32)
+        p = os.path.join(tmp, f"s{i}.nii.gz")
+        save_nifti(p, vol, np.diag([0.5, 0.5, 1.25, 1.0]))  # realistic CT grid
+        paths.append(p)
+
+    extractor = FeatureExtractor(
+        img_size=96, patch_size=12, in_chans=3, hidden_size=768, mlp_dim=3072,
+        num_layers=12, num_heads=12, pos_embed="sincos", qkv_bias=True,
+        dtype=jnp.bfloat16,
+    )
+    # warm the compiled forward
+    extractor.cls_embedding(np.zeros((1, 3, 96, 96, 96), np.float32))
+
+    lat = []
+    for p in paths:
+        t0 = time.perf_counter()
+        vol = extractor.preprocess(p)
+        emb = extractor.cls_embedding(vol[None])
+        float(np.asarray(emb).sum())  # force value
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lat, 50))
+    print(
+        json.dumps(
+            {
+                "metric": "p50 per-scan feature-extract latency",
+                "value": round(p50 * 1e3, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--feature-latency" in sys.argv:
+        feature_latency()
+    else:
+        main()

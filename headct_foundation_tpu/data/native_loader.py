@@ -64,9 +64,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-            lib.headct_preprocess.restype = ctypes.c_int
-            lib.headct_preprocess.argtypes = [
+            lib.headct_preprocess_ex.restype = ctypes.c_int
+            lib.headct_preprocess_ex.argtypes = [
                 ctypes.c_char_p,
+                ctypes.c_int,
                 ctypes.c_int,
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint16),
@@ -74,7 +75,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
             ]
             _LIB = lib
-        except OSError:
+        except (OSError, AttributeError):
             _LIB_FAILED = True
     return _LIB
 
@@ -84,10 +85,12 @@ def native_available() -> bool:
 
 
 def load_and_preprocess_native(
-    path: str, roi: Sequence[int], in_channels: int
+    path: str, roi: Sequence[int], in_channels: int, order: int = 0
 ) -> np.ndarray:
     """Native counterpart of transforms.load_and_preprocess.
 
+    order 0 = training pipeline (window before resize); order 1 = the
+    notebook feature-extraction pipeline (resize before window).
     Returns [C, roi, roi, roi] float16. Raises RuntimeError on decode errors
     (callers shield errors the same way as the python path).
     """
@@ -98,10 +101,11 @@ def load_and_preprocess_native(
     assert all(int(x) == r for x in roi), "native path assumes cubic ROI"
     out = np.empty(in_channels * r * r * r, dtype=np.uint16)
     err = ctypes.create_string_buffer(256)
-    rc = lib.headct_preprocess(
+    rc = lib.headct_preprocess_ex(
         path.encode(),
         r,
         in_channels,
+        order,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         err,
         len(err),

@@ -82,7 +82,21 @@ class FeatureExtractor:
         )
 
     def preprocess(self, nifti_path: str) -> np.ndarray:
-        """NIfTI path -> [C, R, R, R] float32 (notebook transform order)."""
+        """NIfTI path -> [C, R, R, R] float32 (notebook transform order:
+        resize BEFORE windowing). Uses the native C++ pipeline when built
+        (HEADCT_NATIVE=0 forces python/scipy)."""
+        import os
+
+        if os.environ.get("HEADCT_NATIVE", "1") != "0":
+            from headct_foundation_tpu.data.native_loader import (
+                load_and_preprocess_native,
+                native_available,
+            )
+
+            if native_available():
+                return load_and_preprocess_native(
+                    nifti_path, (self.img_size,) * 3, self.in_chans, order=1
+                ).astype(np.float32)
         return extract_feature_preprocess(
             nifti_path, (self.img_size,) * 3, self.in_chans
         )

@@ -378,51 +378,50 @@ Vol zoom_cubic(const Vol& in, double zf[3]) {
             }
     }
 
-    Vol out;
-    out.nx = on[0]; out.ny = on[1]; out.nz = on[2];
-    out.v.resize(static_cast<size_t>(on[0]) * on[1] * on[2]);
-
-    int inn[3] = {in.nx, in.ny, in.nz};
-    // scipy zoom coordinate map: in_coord = out_coord * (in-1)/(out-1)
-    auto coord = [&](int axis, int o) {
-        if (on[axis] == 1) return 0.0;
-        return static_cast<double>(o) * (inn[axis] - 1) / (on[axis] - 1);
-    };
+    // The cubic B-spline kernel is separable: resample one axis at a time
+    // (4 taps per output voxel per axis instead of 64 for the 3D product).
     auto clampi = [](int v, int lo, int hi) { return std::min(std::max(v, lo), hi); };
 
-    for (int x = 0; x < on[0]; ++x) {
-        double cx = coord(0, x);
-        int ix = static_cast<int>(std::floor(cx));
-        double wx[4];
-        cubic_weights(cx - ix, wx);
-        for (int y = 0; y < on[1]; ++y) {
-            double cy = coord(1, y);
-            int iy = static_cast<int>(std::floor(cy));
-            double wy[4];
-            cubic_weights(cy - iy, wy);
-            for (int z = 0; z < on[2]; ++z) {
-                double cz = coord(2, z);
-                int iz = static_cast<int>(std::floor(cz));
-                double wz[4];
-                cubic_weights(cz - iz, wz);
-                double acc = 0.0;
-                for (int a = -1; a <= 2; ++a) {
-                    int xi = clampi(ix + a, 0, in.nx - 1);
-                    double wa = wx[a + 1];
-                    for (int b = -1; b <= 2; ++b) {
-                        int yi = clampi(iy + b, 0, in.ny - 1);
-                        double wb = wy[b + 1];
-                        double wab = wa * wb;
-                        for (int c = -1; c <= 2; ++c) {
-                            int zi = clampi(iz + c, 0, in.nz - 1);
-                            acc += wab * wz[c + 1] * f.at(xi, yi, zi);
-                        }
-                    }
-                }
-                out.at(x, y, z) = static_cast<float>(acc);
-            }
+    auto interp_axis = [&](const Vol& v, int axis, int osize) {
+        int dims[3] = {v.nx, v.ny, v.nz};
+        int isize = dims[axis];
+        Vol out;
+        dims[axis] = osize;
+        out.nx = dims[0]; out.ny = dims[1]; out.nz = dims[2];
+        out.v.resize(static_cast<size_t>(dims[0]) * dims[1] * dims[2]);
+
+        // precompute per-output-index taps
+        std::vector<int> base(osize);
+        std::vector<double> w(static_cast<size_t>(osize) * 4);
+        for (int o = 0; o < osize; ++o) {
+            double c = osize == 1 ? 0.0
+                                  : static_cast<double>(o) * (isize - 1) / (osize - 1);
+            int i0 = static_cast<int>(std::floor(c));
+            base[o] = i0;
+            cubic_weights(c - i0, &w[static_cast<size_t>(o) * 4]);
         }
-    }
+
+        for (int a = 0; a < out.nx; ++a)
+            for (int b = 0; b < out.ny; ++b)
+                for (int c = 0; c < out.nz; ++c) {
+                    int o[3] = {a, b, c};
+                    int oi = o[axis];
+                    const double* wo = &w[static_cast<size_t>(oi) * 4];
+                    double acc = 0.0;
+                    int src[3] = {a, b, c};
+                    for (int t = -1; t <= 2; ++t) {
+                        src[axis] = clampi(base[oi] + t, 0, isize - 1);
+                        acc += wo[t + 1] * v.at(src[0], src[1], src[2]);
+                    }
+                    out.at(a, b, c) = static_cast<float>(acc);
+                }
+        return out;
+    };
+
+    Vol out = std::move(f);
+    if (out.nx != on[0]) out = interp_axis(out, 0, on[0]);
+    if (out.ny != on[1]) out = interp_axis(out, 1, on[1]);
+    if (out.nz != on[2]) out = interp_axis(out, 2, on[2]);
     return out;
 }
 
@@ -520,9 +519,12 @@ inline uint16_t f32_to_f16_bits(float f) {
 extern "C" {
 
 // Preprocess one scan into out[in_channels * roi^3] float16 bits.
+// order 0: training pipeline (window BEFORE resize — loading_transforms);
+// order 1: notebook feature-extraction pipeline (resize BEFORE window —
+// extract_feature_sample.ipynb cell 7; SURVEY.md §3.4).
 // Returns 0 on success; on failure writes a message into err.
-int headct_preprocess(const char* path, int roi, int in_channels,
-                      uint16_t* out, char* err, int errlen) {
+int headct_preprocess_ex(const char* path, int roi, int in_channels,
+                         int order, uint16_t* out, char* err, int errlen) {
     std::string e;
     auto fail = [&](const std::string& msg) {
         std::snprintf(err, errlen, "%s", msg.c_str());
@@ -564,6 +566,18 @@ int headct_preprocess(const char* path, int roi, int in_channels,
     }
 
     size_t roi3 = static_cast<size_t>(roi) * roi * roi;
+    if (order == 1) {
+        // notebook order: resize the raw HU volume first, then window
+        Vol r = area_resize(vol, roi, roi, roi);
+        for (size_t ci = 0; ci < wins.size(); ++ci) {
+            float lo = wins[ci].lo, hi = wins[ci].hi, inv = 1.0f / (hi - lo);
+            for (size_t i = 0; i < roi3; ++i) {
+                float v = std::min(std::max((r.v[i] - lo) * inv, 0.0f), 1.0f);
+                out[ci * roi3 + i] = f32_to_f16_bits(v);
+            }
+        }
+        return 0;
+    }
     for (size_t ci = 0; ci < wins.size(); ++ci) {
         Vol w = vol;
         float lo = wins[ci].lo, hi = wins[ci].hi, inv = 1.0f / (hi - lo);
@@ -575,6 +589,11 @@ int headct_preprocess(const char* path, int roi, int in_channels,
     return 0;
 }
 
-int headct_native_version() { return 1; }
+int headct_preprocess(const char* path, int roi, int in_channels,
+                      uint16_t* out, char* err, int errlen) {
+    return headct_preprocess_ex(path, roi, in_channels, 0, out, err, errlen);
+}
+
+int headct_native_version() { return 2; }
 
 }  // extern "C"
