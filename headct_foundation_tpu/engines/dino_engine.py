@@ -128,6 +128,10 @@ def create_train_state(
     niter_per_ep: int,
     dtype=jnp.bfloat16,
 ) -> Tuple[DINOTrainState, Any, Callable, np.ndarray, np.ndarray, np.ndarray]:
+
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     """Returns (state, state_shardings, lr_schedule, wd_sched, momentum_sched,
     teacher_temp_sched)."""
     backbone = build_vit_model(config, dtype=dtype)
@@ -192,6 +196,10 @@ def create_train_state(
 
 
 def make_train_step(config, mesh: Mesh):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     """Jitted DINO step: (state, batch, rng, momentum, teacher_temp,
     cancel_last_layer) -> (state, metrics)."""
     ncrops = config.DINO.LOCAL_CROP_NUM + 2
@@ -288,6 +296,10 @@ def make_train_step(config, mesh: Mesh):
 
 
 def make_eval_step(config, mesh: Mesh):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     """Validation: same loss computed without updates (reference:
     engine_pretrain_dino.py:128-205 val_one_epoch)."""
     ncrops = config.DINO.LOCAL_CROP_NUM + 2

@@ -97,6 +97,10 @@ def create_train_state(
     num_warmup_steps: int,
     dtype=jnp.bfloat16,
 ) -> Tuple[DownstreamTrainState, Any, Callable]:
+
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     model = build_vit_model(config, dtype=dtype, lora=config.TRAIN.LORA)
     classifier = build_classifier(config, dtype=dtype)
     roi = config.MODEL.ROI
@@ -193,6 +197,10 @@ def _features(state, params, batch, kind):
 
 
 def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     kind = config.TRAIN.CLASSIFIER
     lock = config.TRAIN.LOCK if lock is None else lock
 
@@ -238,6 +246,10 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
 
 
 def make_eval_step(config, mesh: Mesh):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     kind = config.TRAIN.CLASSIFIER
 
     def eval_step(state: DownstreamTrainState, batch, target):

@@ -89,6 +89,10 @@ def create_train_state(
     num_warmup_steps: int,
     dtype=jnp.bfloat16,
 ) -> Tuple[TrainState, Any, Callable]:
+
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     """Initialize model + optimizer with parameters sharded per mesh rules.
 
     Returns (state, state_shardings, lr_schedule).
@@ -151,6 +155,10 @@ def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
 
 
 def make_train_step(mesh: Mesh, augment: bool = False):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
@@ -191,6 +199,10 @@ def make_train_step(mesh: Mesh, augment: bool = False):
 
 
 def make_eval_step(mesh: Mesh):
+    from headct_foundation_tpu.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+
     def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         loss, _, _ = state.apply_fn(
             {"params": state.params}, batch, deterministic=True,

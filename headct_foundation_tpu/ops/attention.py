@@ -28,6 +28,7 @@ import jax.numpy as jnp
 # (175 ms -> 121 ms at batch 32). On CPU the Pallas path runs interpreted
 # (tests only), so XLA stays the default there.
 _BACKEND = None
+_MESH = None
 
 
 def set_attention_backend(name: str) -> None:
@@ -40,6 +41,38 @@ def get_attention_backend() -> str:
     if _BACKEND is None:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return _BACKEND
+
+
+def set_attention_mesh(mesh) -> None:
+    """Register the active device mesh for the Pallas attention path.
+
+    GSPMD cannot partition a pallas_call — without this, a sharded batch gets
+    ALL-GATHERED around the kernel (verified in tests). With a registered
+    mesh, the kernel is shard_map-ped: batch over ('data','fsdp'), heads over
+    'tensor' (the Megatron head split). Engines call this when building
+    steps; pass None for single-device/inference use."""
+    global _MESH
+    _MESH = mesh
+
+
+def _pallas_sharded(q, k, v, scale):
+    from headct_foundation_tpu.ops.flash_attention import fused_attention
+
+    mesh = _MESH
+    if mesh is None or all(int(s) == 1 for s in mesh.shape.values()):
+        return fused_attention(q, k, v, scale)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(("data", "fsdp"), None, "tensor", None)
+    fn = jax.shard_map(
+        lambda q, k, v: fused_attention(q, k, v, scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
 
 
 def dot_product_attention(
@@ -64,11 +97,10 @@ def dot_product_attention(
         from headct_foundation_tpu.ops.flash_attention import (
             VMEM_PATH_MAX_T,
             flash_attention,
-            fused_attention,
         )
 
         if q.shape[1] <= VMEM_PATH_MAX_T:
             # differentiable fused kernel (custom VJP recomputes P in bwd)
-            return fused_attention(q, k, v, scale)
+            return _pallas_sharded(q, k, v, scale)
         return flash_attention(q, k, v, scale=scale)
     return jax.nn.dot_product_attention(q, k, v, scale=scale)

@@ -79,3 +79,39 @@ def test_fused_attention_grads_match_xla():
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_pallas_attention_shards_without_allgather():
+    """GSPMD can't partition pallas_call; the mesh-registered shard_map
+    wrapper must keep the batch sharded (no all-gather in the HLO)."""
+    from headct_foundation_tpu.ops.attention import (
+        dot_product_attention,
+        set_attention_backend,
+        set_attention_mesh,
+    )
+    from headct_foundation_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=8)
+    set_attention_backend("pallas")
+    set_attention_mesh(mesh)
+    try:
+        B, T, H, D = 16, 129, 4, 32
+        qn = np.random.RandomState(0).randn(B, T, H, D).astype(np.float32)
+        q = jax.device_put(qn, batch_sharding(mesh))
+        f = jax.jit(
+            lambda q: dot_product_attention(q, q, q),
+            in_shardings=(batch_sharding(mesh),),
+        )
+        out = f(q)
+        assert out.sharding.spec == jax.sharding.PartitionSpec(("data", "fsdp"))
+        hlo = f.lower(q).compile().as_text()
+        assert "all-gather" not in hlo
+        ref = np.asarray(
+            jax.nn.dot_product_attention(
+                jnp.asarray(qn), jnp.asarray(qn), jnp.asarray(qn)
+            )
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    finally:
+        set_attention_backend("xla")
+        set_attention_mesh(None)
