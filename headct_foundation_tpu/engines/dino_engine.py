@@ -56,6 +56,8 @@ class DINOTrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any          # student {'backbone': ..., 'head': ...}
     teacher_params: Any  # same structure, EMA of student
+    head_stats: Any          # student head BatchNorm running stats ({} w/o BN)
+    teacher_head_stats: Any  # teacher head BatchNorm running stats
     opt_state: Any
     center: jnp.ndarray  # [1, out_dim]
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
@@ -142,13 +144,20 @@ def create_train_state(
     def _init(rng):
         kb, kh = jax.random.split(rng)
         b_params = backbone.init(kb, sample)["params"]
-        h_params = head.init(kh, jnp.zeros((1, config.VIT.HIDDEN_SIZE), dtype))["params"]
-        return {"backbone": b_params, "head": h_params}
+        h_vars = head.init(kh, jnp.zeros((1, config.VIT.HIDDEN_SIZE), dtype))
+        return {"backbone": b_params, "head": h_vars["params"]}, h_vars.get(
+            "batch_stats", {}
+        )
 
-    params_shape = jax.eval_shape(_init, rng)
+    def _init_params(rng):
+        return _init(rng)[0]
+
+    params_shape = jax.eval_shape(_init_params, rng)
     p_shardings = param_shardings(params_shape, mesh)
-    params = jax.jit(_init, out_shardings=p_shardings)(rng)
+    params = jax.jit(_init_params, out_shardings=p_shardings)(rng)
+    head_stats = jax.jit(lambda r: _init(r)[1])(rng)
     teacher_params = jax.tree.map(jnp.copy, params)
+    teacher_head_stats = jax.tree.map(jnp.copy, head_stats)
 
     lr_schedule = get_lr_schedule(
         config, config.TRAIN.BASE_LR, num_warmup_steps, total_steps, config.TRAIN.MIN_LR
@@ -180,6 +189,8 @@ def create_train_state(
         step=jnp.zeros([], jnp.int32),
         params=params,
         teacher_params=teacher_params,
+        head_stats=head_stats,
+        teacher_head_stats=teacher_head_stats,
         opt_state=tx.init(params),
         center=jnp.zeros((1, config.DINO.HEAD_N_PROTOTYPES), jnp.float32),
         tx=tx,
@@ -231,13 +242,28 @@ def make_train_step(config, mesh: Mesh):
         )
 
         # Teacher: 2 global crops, one batched pass, CLS feature -> head.
+        # With BN in the head, both networks run train-mode batch statistics
+        # and keep their own running stats (the reference keeps teacher in
+        # .train() and never broadcasts buffers — engine_pretrain_dino.py:58,
+        # main_pretrain_dino.py:190 broadcast_buffers=False).
         teacher_in = jnp.concatenate(crops[:2], axis=0)
         t_tokens, _ = state.backbone_apply(
             {"params": state.teacher_params["backbone"]}, teacher_in
         )
-        teacher_output = state.head_apply(
-            {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
-        )
+        if use_bn:
+            teacher_output, t_updates = state.head_apply(
+                {"params": state.teacher_params["head"],
+                 "batch_stats": state.teacher_head_stats},
+                t_tokens[:, 0, :],
+                use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            new_teacher_head_stats = t_updates["batch_stats"]
+        else:
+            teacher_output = state.head_apply(
+                {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
+            )
+            new_teacher_head_stats = state.teacher_head_stats
         teacher_output = jax.lax.stop_gradient(teacher_output)
 
         student_in = jnp.concatenate(crops, axis=0)
@@ -246,14 +272,27 @@ def make_train_step(config, mesh: Mesh):
             s_tokens, _ = state.backbone_apply(
                 {"params": params["backbone"]}, student_in
             )
-            student_output = state.head_apply(
-                {"params": params["head"]}, s_tokens[:, 0, :]
-            )
-            return dino_loss(
+            if use_bn:
+                student_output, s_updates = state.head_apply(
+                    {"params": params["head"], "batch_stats": state.head_stats},
+                    s_tokens[:, 0, :],
+                    use_running_average=False,
+                    mutable=["batch_stats"],
+                )
+                new_stats = s_updates["batch_stats"]
+            else:
+                student_output = state.head_apply(
+                    {"params": params["head"]}, s_tokens[:, 0, :]
+                )
+                new_stats = state.head_stats
+            loss = dino_loss(
                 student_output, teacher_output, state.center, teacher_temp, ncrops
             )
+            return loss, new_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, new_head_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
 
         # Cancel last-layer grads during warmup epochs (reference: misc.py:366-371).
         keep = (1.0 - cancel_last_layer).astype(freeze_flag_dtype)
@@ -282,12 +321,13 @@ def make_train_step(config, mesh: Mesh):
             step=state.step + 1,
             params=new_params,
             teacher_params=new_teacher,
+            head_stats=new_head_stats,
+            teacher_head_stats=new_teacher_head_stats,
             opt_state=new_opt_state,
             center=new_center,
         )
         return new_state, {"loss": loss}
 
-    del use_bn  # BN-in-head uses running averages only in this engine for now
     return jax.jit(
         train_step,
         in_shardings=(None, batch_sharding(mesh), None, None, None, None),
@@ -305,6 +345,16 @@ def make_eval_step(config, mesh: Mesh):
     ncrops = config.DINO.LOCAL_CROP_NUM + 2
     final_size = tuple(config.MODEL.ROI)
 
+    use_bn = config.DINO.USE_BN
+
+    def _head(state, params, stats, x):
+        if use_bn:
+            return state.head_apply(
+                {"params": params, "batch_stats": stats}, x,
+                use_running_average=True,
+            )
+        return state.head_apply({"params": params}, x)
+
     def eval_step(state, batch, rng, teacher_temp):
         crops = dino_multicrop(
             rng,
@@ -318,15 +368,16 @@ def make_eval_step(config, mesh: Mesh):
         t_tokens, _ = state.backbone_apply(
             {"params": state.teacher_params["backbone"]}, teacher_in
         )
-        teacher_output = state.head_apply(
-            {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
+        teacher_output = _head(
+            state, state.teacher_params["head"], state.teacher_head_stats,
+            t_tokens[:, 0, :],
         )
         student_in = jnp.concatenate(crops, axis=0)
         s_tokens, _ = state.backbone_apply(
             {"params": state.params["backbone"]}, student_in
         )
-        student_output = state.head_apply(
-            {"params": state.params["head"]}, s_tokens[:, 0, :]
+        student_output = _head(
+            state, state.params["head"], state.head_stats, s_tokens[:, 0, :]
         )
         loss = dino_loss(
             student_output, teacher_output, state.center, teacher_temp, ncrops
@@ -427,7 +478,9 @@ def trainer(
                 _ckpt_view(state), epoch, best_loss, config.MODEL.DIR,
                 f"latest_{save_name}", logger=logger,
                 extra={"momentum_model_state_dict": state.teacher_params,
-                       "center": state.center},
+                       "center": state.center,
+                       "head_stats": state.head_stats,
+                       "teacher_head_stats": state.teacher_head_stats},
             )
         if (epoch + 1) % val_every == 0 and val_loader is not None:
             val_stats = val_one_epoch(

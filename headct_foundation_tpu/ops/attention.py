@@ -94,13 +94,12 @@ def dot_product_attention(
       [B, Tq, H, D] attention output in q.dtype.
     """
     if get_attention_backend() == "pallas":
-        from headct_foundation_tpu.ops.flash_attention import (
-            VMEM_PATH_MAX_T,
-            flash_attention,
-        )
+        from headct_foundation_tpu.ops.flash_attention import VMEM_PATH_MAX_T
 
         if q.shape[1] <= VMEM_PATH_MAX_T:
             # differentiable fused kernel (custom VJP recomputes P in bwd)
             return _pallas_sharded(q, k, v, scale)
-        return flash_attention(q, k, v, scale=scale)
+        # Long sequences: the blocked pallas kernel (flash_attention) is
+        # forward-only; XLA stays the differentiable path here until the
+        # blocked kernel grows a custom VJP.
     return jax.nn.dot_product_attention(q, k, v, scale=scale)

@@ -78,20 +78,39 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(arr: np.ndarray, mesh: Mesh, dtype=None):
-    """device_put a host batch with the batch axis sharded, padding the batch
-    to a multiple of the data x fsdp mesh size by repeating the last item
-    (the same duplicate-padding DistributedSampler applies at dataset tails).
+    """Place a host batch on the mesh with the batch axis sharded, padding the
+    batch to a multiple of the data x fsdp mesh size by repeating the last
+    item (the same duplicate-padding DistributedSampler applies at dataset
+    tails).
 
-    Returns (device_array, n_real) — consumers that aggregate per-sample
-    outputs (metrics, predictions) slice back to ``n_real``.
+    Single-host: a straight device_put. Multi-host: each process contributes
+    its LOCAL batch (loaders are already per-process sharded via
+    distributed_indices) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch size is
+    local x process_count.
+
+    Returns (device_array, n_real_local) — consumers that aggregate
+    per-sample outputs (metrics, predictions) slice back to ``n_real_local``.
     """
-    import jax.numpy as jnp
-
     arr = np.asarray(arr)
     if dtype is not None:
         arr = arr.astype(dtype)
-    divisor = mesh.shape["data"] * mesh.shape["fsdp"]
     n = arr.shape[0]
+
+    if jax.process_count() > 1:
+        # pad the local shard to a multiple of the per-process device count
+        local_devices = max(
+            1, (mesh.shape["data"] * mesh.shape["fsdp"]) // jax.process_count()
+        )
+        rem = (-n) % local_devices
+        if rem:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)], axis=0)
+        return (
+            jax.make_array_from_process_local_data(batch_sharding(mesh), arr),
+            n,
+        )
+
+    divisor = mesh.shape["data"] * mesh.shape["fsdp"]
     rem = (-n) % divisor
     if rem:
         pad = np.repeat(arr[-1:], rem, axis=0)

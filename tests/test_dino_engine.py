@@ -151,3 +151,36 @@ def test_cancel_last_layer_freezes_grads(tmp_path):
     )
     v_after = np.asarray(jax.device_get(state.params["head"]["last_layer"]["weight_v"]))
     np.testing.assert_array_equal(v_before, v_after)
+
+
+def test_dino_use_bn_head(tmp_path):
+    """DINO head with BatchNorm: stats threaded through the state, train-mode
+    batch statistics for student AND teacher (reference keeps both in
+    .train() with broadcast_buffers=False)."""
+    cfg = _tiny_config(tmp_path)
+    cfg.DINO.USE_BN = True
+    mesh = make_mesh(data=8)
+    rng = jax.random.PRNGKey(0)
+    state, *_ = dino_engine.create_train_state(
+        cfg, mesh, rng, total_steps=8, num_warmup_steps=0, niter_per_ep=2
+    )
+    assert jax.tree.leaves(state.head_stats), "BN stats missing from state"
+    train_step = dino_engine.make_train_step(cfg, mesh)
+    batch = dino_engine._to_device_batch(
+        np.random.RandomState(0).rand(8, 1, 24, 24, 24).astype(np.float32), mesh
+    )
+    stats_before = jax.device_get(state.head_stats)
+    state, m = train_step(
+        state, batch, rng, jnp.asarray(0.99), jnp.asarray(0.04), jnp.asarray(0.0)
+    )
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    stats_after = jax.device_get(state.head_stats)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(stats_before), jax.tree.leaves(stats_after))
+    )
+    assert moved, "running stats did not update"
+    # eval path works with running averages
+    eval_step = dino_engine.make_eval_step(cfg, mesh)
+    em = eval_step(state, batch, rng, jnp.asarray(0.04))
+    assert np.isfinite(float(jax.device_get(em["loss"])))
