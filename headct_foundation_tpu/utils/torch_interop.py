@@ -223,6 +223,69 @@ def merge_params(
     return merged, missing, unexpected
 
 
+def tree_to_torch(
+    params: Any, norm_layer: str = "layernorm", batch_stats: Any = None
+) -> Dict[str, np.ndarray]:
+    """Export our nested param tree to a torch-convention state_dict
+    (the inverse of torch_to_tree): flax kernels transpose back to
+    Linear.weight [out, in], the patch-embed matmul kernel folds back into a
+    Conv3d weight [O, C, ph, pw, pd], norm scale -> weight, BN stats ->
+    running_mean/var. Lets reference tooling consume checkpoints trained here.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def _patch_kernel_to_conv(k: np.ndarray) -> np.ndarray:
+        # [(ph pw pd C), O] -> [O, C, ph, pw, pd]; patch extent is cubic
+        pd_c, o = k.shape
+        # infer C from companion bias? caller passes via closure: we infer by
+        # scanning plausible channel counts (1 or 3) then cube root.
+        for c in (3, 1, 2, 4):
+            vol = pd_c // c
+            p = round(vol ** (1 / 3))
+            if c * p * p * p == pd_c:
+                return k.reshape(p, p, p, c, o).transpose(4, 3, 0, 1, 2)
+        raise ValueError(f"cannot infer conv shape from kernel {k.shape}")
+
+    def _walk(tree: Any, prefix: str, in_patch_embed: bool):
+        for key, val in tree.items():
+            name = str(key)
+            dotted = f"{prefix}.{name}" if prefix else name
+            if isinstance(val, dict):
+                # blocks_3 -> blocks.3 ; mlp_1 -> mlp.<seq idx> (no-BN layout)
+                torch_name = name
+                for base in ("blocks", "decoder_blocks"):
+                    if name.startswith(base + "_") and name[len(base) + 1:].isdigit():
+                        torch_name = f"{base}.{name[len(base) + 1:]}"
+                if name.startswith("mlp_") and name[4:].isdigit():
+                    torch_name = f"mlp.{2 * int(name[4:])}"
+                if name.startswith("mlp_bn_"):
+                    torch_name = f"mlp.{3 * int(name[7:]) + 1}"
+                new_prefix = f"{prefix}.{torch_name}" if prefix else torch_name
+                _walk(val, new_prefix, in_patch_embed or name == "patch_embedding")
+                continue
+
+            arr = np.asarray(val)
+            if in_patch_embed and name == "kernel":
+                out[f"{prefix}.patch_embeddings.weight"] = _patch_kernel_to_conv(arr)
+            elif in_patch_embed and name == "bias" and prefix.endswith("patch_embedding"):
+                out[f"{prefix}.patch_embeddings.bias"] = arr
+            elif name == "kernel":
+                out[f"{prefix}.weight"] = arr.T
+            elif name == "scale":
+                out[f"{prefix}.weight"] = arr
+            elif name == "mean":
+                out[f"{prefix}.running_mean"] = arr
+            elif name == "var":
+                out[f"{prefix}.running_var"] = arr
+            else:
+                out[dotted] = arr
+
+    _walk(params, "", False)
+    if batch_stats:
+        _walk(batch_stats, "", False)
+    return out
+
+
 def _is_torch_checkpoint(path: str) -> bool:
     """torch.save produces a zip ('PK') or a legacy pickle beginning with a
     protocol-2 header followed by torch's magic long; our checkpoints are

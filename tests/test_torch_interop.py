@@ -168,3 +168,50 @@ def test_merge_reports_shape_mismatch():
     np.testing.assert_array_equal(merged["b"], 0)  # mismatched shape skipped
     assert any("b" in u for u in unexpected)
     assert any("c" in u for u in unexpected)
+
+
+def test_tree_to_torch_roundtrip():
+    """Export our ViT params to torch convention and re-import: identical."""
+    from headct_foundation_tpu.utils.torch_interop import tree_to_torch
+
+    our = ViT(
+        in_chans=3, img_size=24, patch_size=12, hidden_size=48, mlp_dim=96,
+        num_layers=2, num_heads=4, pos_embed="learnable", qkv_bias=True,
+    )
+    x = jnp.zeros((1, 3, 24, 24, 24))
+    params = jax.device_get(our.init(jax.random.PRNGKey(1), x)["params"])
+
+    sd = tree_to_torch(params)
+    # torch-convention names present
+    assert "patch_embedding.patch_embeddings.weight" in sd
+    assert sd["patch_embedding.patch_embeddings.weight"].shape == (48, 3, 12, 12, 12)
+    assert "blocks.0.attn.qkv.weight" in sd
+    assert sd["blocks.0.attn.qkv.weight"].shape == (144, 48)
+
+    back = torch_to_tree(sd)["params"]
+    merged, missing, unexpected = merge_params(params, back)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(merged)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_tree_to_torch_dino_head_roundtrip():
+    from headct_foundation_tpu.models import DINOHead
+    from headct_foundation_tpu.utils.torch_interop import tree_to_torch
+
+    head = DINOHead(in_dim=16, out_dim=32, nlayers=3, hidden_dim=8,
+                    bottleneck_dim=4)
+    params = jax.device_get(
+        head.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))["params"]
+    )
+    sd = tree_to_torch(params)
+    assert "mlp.0.weight" in sd and "mlp.2.weight" in sd and "mlp.4.weight" in sd
+    assert "last_layer.weight_v" in sd
+    back = torch_to_tree(sd)["params"]
+    merged, missing, unexpected = merge_params(params, back)
+    assert not missing and not unexpected, (missing, unexpected)
