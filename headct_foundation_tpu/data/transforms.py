@@ -19,7 +19,6 @@ by MONAI's default Resize mode.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np

@@ -18,7 +18,7 @@ Also provides batched embedding extraction for retrieval evaluation
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ explicit state (no buffers in functional JAX).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

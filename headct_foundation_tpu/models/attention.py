@@ -17,14 +17,12 @@ fp32 params (``dtype`` vs ``param_dtype``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 
 import os
 
-from headct_foundation_tpu.models.layers import make_norm, trunc_normal_init
+from headct_foundation_tpu.models.layers import make_norm
 from headct_foundation_tpu.ops.attention import dot_product_attention
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:

@@ -21,7 +21,7 @@ bfloat16 compute with fp32 params replaces the reference's fp16 AMP+GradScaler.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax

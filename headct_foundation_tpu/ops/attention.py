@@ -15,11 +15,9 @@ is already near roofline; the Pallas path exists for the high-resolution
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 # "xla" | "pallas" | None (auto: pallas on TPU, xla elsewhere).
 # On TPU the fused custom-VJP Pallas kernel recomputes attention

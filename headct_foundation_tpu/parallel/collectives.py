@@ -14,8 +14,6 @@ explicit equivalent. These helpers cover the explicit cases:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

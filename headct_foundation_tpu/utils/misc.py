@@ -13,8 +13,6 @@ import json
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 
 def create_dataset(
     images: Sequence[str], labels: Optional[Sequence[Any]]
