@@ -289,6 +289,9 @@ def _default_config() -> CfgNode:
     _C.TRAIN.LOSS = "l1"
     _C.TRAIN.TEMPERATURE = 0.5
     _C.TRAIN.OPTIMIZER = "AdamW"
+    # Fused Pallas Lion update kernel (counterpart of the reference Lion's
+    # use_triton flag, reference: src/utils/optimizers.py:305-307).
+    _C.TRAIN.LION_FUSED = False
     _C.TRAIN.SCHEDULER = "cosine"
     _C.TRAIN.PER_WARMUP = 0.05
     _C.TRAIN.GRAD_CLIP = 1.0

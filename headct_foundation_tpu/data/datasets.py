@@ -81,9 +81,21 @@ class DiskCache:
                 cache_dir = None  # unwritable cache dir -> run uncached
         self.cache_dir = cache_dir
 
+    def _backend(self) -> str:
+        """Which preprocessing backend _preprocess will take: 'native' or
+        'python'. Part of the cache key — the two agree only to ~1e-5, so
+        flipping HEADCT_NATIVE must not serve the other backend's tensors."""
+        if os.environ.get("HEADCT_NATIVE", "1") != "0" and len(set(self.roi)) == 1:
+            from headct_foundation_tpu.data.native_loader import native_available
+
+            if native_available():
+                return "native"
+        return "python"
+
     def _key(self, path: str) -> str:
         h = hashlib.sha1(
-            f"{path}|{self.roi}|{self.in_channels}|{_PIPELINE_VERSION}".encode()
+            f"{path}|{self.roi}|{self.in_channels}|{_PIPELINE_VERSION}"
+            f"|{self._backend()}".encode()
         ).hexdigest()
         return h
 
@@ -91,14 +103,12 @@ class DiskCache:
         """Native (C++) pipeline when available — ~100x faster than the
         scipy path and GIL-free, so loader threads parallelize; numerically
         matched to fp16 precision. HEADCT_NATIVE=0 forces the python path."""
-        if os.environ.get("HEADCT_NATIVE", "1") != "0" and len(set(self.roi)) == 1:
+        if self._backend() == "native":
             from headct_foundation_tpu.data.native_loader import (
                 load_and_preprocess_native,
-                native_available,
             )
 
-            if native_available():
-                return load_and_preprocess_native(path, self.roi, self.in_channels)
+            return load_and_preprocess_native(path, self.roi, self.in_channels)
         return load_and_preprocess(path, self.roi, self.in_channels)
 
     def load(self, path: str) -> np.ndarray:

@@ -43,6 +43,7 @@ from headct_foundation_tpu.losses.dino_loss import (
     update_center,
 )
 from headct_foundation_tpu.models.dino_head import DINOHead
+from headct_foundation_tpu.models.multicrop import multicrop_forward
 from headct_foundation_tpu.models.vit import ViT
 from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
 from headct_foundation_tpu.optim.optimizers import get_optimizer
@@ -130,21 +131,21 @@ def create_train_state(
     niter_per_ep: int,
     dtype=jnp.bfloat16,
 ) -> Tuple[DINOTrainState, Any, Callable, np.ndarray, np.ndarray, np.ndarray]:
-
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     """Returns (state, state_shardings, lr_schedule, wd_sched, momentum_sched,
     teacher_temp_sched)."""
+    from headct_foundation_tpu.ops.attention import attention_mesh
+
     backbone = build_vit_model(config, dtype=dtype)
     head = build_dino_head(config, dtype=dtype)
     roi = config.MODEL.ROI
     sample = jnp.zeros((1, config.VIT.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
 
     def _init(rng):
-        kb, kh = jax.random.split(rng)
-        b_params = backbone.init(kb, sample)["params"]
-        h_vars = head.init(kh, jnp.zeros((1, config.VIT.HIDDEN_SIZE), dtype))
+        # init traces use batch-1 samples; no shard_map around attention
+        with attention_mesh(None):
+            kb, kh = jax.random.split(rng)
+            b_params = backbone.init(kb, sample)["params"]
+            h_vars = head.init(kh, jnp.zeros((1, config.VIT.HIDDEN_SIZE), dtype))
         return {"backbone": b_params, "head": h_vars["params"]}, h_vars.get(
             "batch_stats", {}
         )
@@ -207,12 +208,10 @@ def create_train_state(
 
 
 def make_train_step(config, mesh: Mesh):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
-
     """Jitted DINO step: (state, batch, rng, momentum, teacher_temp,
     cancel_last_layer) -> (state, metrics)."""
+    from headct_foundation_tpu.ops.attention import attention_mesh
+
     ncrops = config.DINO.LOCAL_CROP_NUM + 2
     final_size = tuple(config.MODEL.ROI)
     global_size = config.DINO.GLOBAL_CROP_SIZE[0]
@@ -241,50 +240,50 @@ def make_train_step(config, mesh: Mesh):
             local_crops_number=local_num,
         )
 
-        # Teacher: 2 global crops, one batched pass, CLS feature -> head.
+        # Teacher: 2 global crops via multicrop_forward (one batched pass —
+        # all crops share the final size, so the reference's size-grouped
+        # MultiCropWrapper loop collapses to a single group), CLS -> head.
         # With BN in the head, both networks run train-mode batch statistics
         # and keep their own running stats (the reference keeps teacher in
         # .train() and never broadcasts buffers — engine_pretrain_dino.py:58,
         # main_pretrain_dino.py:190 broadcast_buffers=False).
-        teacher_in = jnp.concatenate(crops[:2], axis=0)
-        t_tokens, _ = state.backbone_apply(
-            {"params": state.teacher_params["backbone"]}, teacher_in
+        def _head_fn(params, stats, stats_box):
+            def head_apply(feats):
+                if use_bn:
+                    out, upd = state.head_apply(
+                        {"params": params, "batch_stats": stats},
+                        feats,
+                        use_running_average=False,
+                        mutable=["batch_stats"],
+                    )
+                    stats_box.append(upd["batch_stats"])
+                    return out
+                return state.head_apply({"params": params}, feats)
+
+            return head_apply
+
+        t_stats_box: list = []
+        teacher_output = multicrop_forward(
+            lambda x: state.backbone_apply(
+                {"params": state.teacher_params["backbone"]}, x
+            ),
+            _head_fn(state.teacher_params["head"], state.teacher_head_stats,
+                     t_stats_box),
+            crops[:2],
         )
-        if use_bn:
-            teacher_output, t_updates = state.head_apply(
-                {"params": state.teacher_params["head"],
-                 "batch_stats": state.teacher_head_stats},
-                t_tokens[:, 0, :],
-                use_running_average=False,
-                mutable=["batch_stats"],
-            )
-            new_teacher_head_stats = t_updates["batch_stats"]
-        else:
-            teacher_output = state.head_apply(
-                {"params": state.teacher_params["head"]}, t_tokens[:, 0, :]
-            )
-            new_teacher_head_stats = state.teacher_head_stats
+        new_teacher_head_stats = (
+            t_stats_box[0] if t_stats_box else state.teacher_head_stats
+        )
         teacher_output = jax.lax.stop_gradient(teacher_output)
 
-        student_in = jnp.concatenate(crops, axis=0)
-
         def loss_fn(params):
-            s_tokens, _ = state.backbone_apply(
-                {"params": params["backbone"]}, student_in
+            s_stats_box: list = []
+            student_output = multicrop_forward(
+                lambda x: state.backbone_apply({"params": params["backbone"]}, x),
+                _head_fn(params["head"], state.head_stats, s_stats_box),
+                crops,
             )
-            if use_bn:
-                student_output, s_updates = state.head_apply(
-                    {"params": params["head"], "batch_stats": state.head_stats},
-                    s_tokens[:, 0, :],
-                    use_running_average=False,
-                    mutable=["batch_stats"],
-                )
-                new_stats = s_updates["batch_stats"]
-            else:
-                student_output = state.head_apply(
-                    {"params": params["head"]}, s_tokens[:, 0, :]
-                )
-                new_stats = state.head_stats
+            new_stats = s_stats_box[0] if s_stats_box else state.head_stats
             loss = dino_loss(
                 student_output, teacher_output, state.center, teacher_temp, ncrops
             )
@@ -328,20 +327,23 @@ def make_train_step(config, mesh: Mesh):
         )
         return new_state, {"loss": loss}
 
+    def train_step_scoped(state, batch, rng, momentum, teacher_temp, cancel):
+        # Scoped at trace time: shard the Pallas attention over THIS mesh.
+        with attention_mesh(mesh):
+            return train_step(state, batch, rng, momentum, teacher_temp, cancel)
+
     return jax.jit(
-        train_step,
+        train_step_scoped,
         in_shardings=(None, batch_sharding(mesh), None, None, None, None),
         donate_argnums=(0,),
     )
 
 
 def make_eval_step(config, mesh: Mesh):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
-
     """Validation: same loss computed without updates (reference:
     engine_pretrain_dino.py:128-205 val_one_epoch)."""
+    from headct_foundation_tpu.ops.attention import attention_mesh
+
     ncrops = config.DINO.LOCAL_CROP_NUM + 2
     final_size = tuple(config.MODEL.ROI)
 
@@ -364,27 +366,32 @@ def make_eval_step(config, mesh: Mesh):
             local_crop_size=config.DINO.LOCAL_CROP_SIZE[0],
             local_crops_number=config.DINO.LOCAL_CROP_NUM,
         )
-        teacher_in = jnp.concatenate(crops[:2], axis=0)
-        t_tokens, _ = state.backbone_apply(
-            {"params": state.teacher_params["backbone"]}, teacher_in
+        teacher_output = multicrop_forward(
+            lambda x: state.backbone_apply(
+                {"params": state.teacher_params["backbone"]}, x
+            ),
+            lambda f: _head(
+                state, state.teacher_params["head"], state.teacher_head_stats, f
+            ),
+            crops[:2],
         )
-        teacher_output = _head(
-            state, state.teacher_params["head"], state.teacher_head_stats,
-            t_tokens[:, 0, :],
-        )
-        student_in = jnp.concatenate(crops, axis=0)
-        s_tokens, _ = state.backbone_apply(
-            {"params": state.params["backbone"]}, student_in
-        )
-        student_output = _head(
-            state, state.params["head"], state.head_stats, s_tokens[:, 0, :]
+        student_output = multicrop_forward(
+            lambda x: state.backbone_apply({"params": state.params["backbone"]}, x),
+            lambda f: _head(state, state.params["head"], state.head_stats, f),
+            crops,
         )
         loss = dino_loss(
             student_output, teacher_output, state.center, teacher_temp, ncrops
         )
         return {"loss": loss}
 
-    return jax.jit(eval_step, in_shardings=(None, batch_sharding(mesh), None, None))
+    def eval_step_scoped(state, batch, rng, teacher_temp):
+        with attention_mesh(mesh):
+            return eval_step(state, batch, rng, teacher_temp)
+
+    return jax.jit(
+        eval_step_scoped, in_shardings=(None, batch_sharding(mesh), None, None)
+    )
 
 
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -406,7 +413,7 @@ def train_one_epoch(
     cancel = jnp.asarray(1.0 if epoch < config.DINO.FREEZE_LAST_LAYER else 0.0)
     temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
 
-    for idx, batch_data in enumerate(loader):
+    for idx, batch_data in enumerate(metric_logger.log_every(loader)):
         batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data
         it = n_batches * epoch + idx
         # Reference quirk: momentum indexed by within-epoch idx, not global it
@@ -459,19 +466,27 @@ def trainer(
 ) -> Tuple[DINOTrainState, float]:
     best_loss = float("inf")
     save_name = config.MODEL.SAVE_NAME
+    from contextlib import nullcontext
+
+    from headct_foundation_tpu.utils.misc import profile_trace
+
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
-        state, stats = train_one_epoch(
-            config, state, train_step, train_loader, mesh, rng, lr_schedule,
-            wd_sched, momentum_sched, temp_sched, epoch, max_epochs,
-            logger=logger, wandb_run=wandb_run,
-        )
+        # HEADCT_PROFILE_DIR captures a jax.profiler trace of the first epoch.
+        with profile_trace() if epoch == start_epoch else nullcontext():
+            state, stats = train_one_epoch(
+                config, state, train_step, train_loader, mesh, rng, lr_schedule,
+                wd_sched, momentum_sched, temp_sched, epoch, max_epochs,
+                logger=logger, wandb_run=wandb_run,
+            )
         if logger:
             logger.info(
                 f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s  "
-                f"train loss {stats.get('loss', float('nan')):.4f}"
+                f"train loss {stats.get('loss', float('nan')):.4f}  "
+                f"iter {stats.get('iter_time', 0.0):.3f}s "
+                f"(data {stats.get('data_time', 0.0):.3f}s)"
             )
         if jax.process_index() == 0:
             save_checkpoint(
@@ -497,7 +512,9 @@ def trainer(
                         _ckpt_view(state), epoch, best_loss, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger,
                         extra={"momentum_model_state_dict": state.teacher_params,
-                               "center": state.center},
+                               "center": state.center,
+                               "head_stats": state.head_stats,
+                               "teacher_head_stats": state.teacher_head_stats},
                     )
     return state, best_loss
 

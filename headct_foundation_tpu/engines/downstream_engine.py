@@ -97,9 +97,8 @@ def create_train_state(
     dtype=jnp.bfloat16,
 ) -> Tuple[DownstreamTrainState, Any, Callable]:
 
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
+    from headct_foundation_tpu.ops.attention import attention_mesh
 
-    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     model = build_vit_model(config, dtype=dtype, lora=config.TRAIN.LORA)
     classifier = build_classifier(config, dtype=dtype)
     roi = config.MODEL.ROI
@@ -108,7 +107,9 @@ def create_train_state(
 
     def _init(rng):
         km, kc = jax.random.split(rng)
-        m_params = model.init(km, sample)["params"]
+        # init traces use small samples; no shard_map around attention
+        with attention_mesh(None):
+            m_params = model.init(km, sample)["params"]
         if kind == "linear":
             feat = jnp.zeros((2, config.VIT.HIDDEN_SIZE), dtype)
         else:
@@ -196,9 +197,7 @@ def _features(state, params, batch, kind):
 
 
 def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+    from headct_foundation_tpu.ops.attention import attention_mesh
 
     kind = config.TRAIN.CLASSIFIER
     lock = config.TRAIN.LOCK if lock is None else lock
@@ -237,17 +236,20 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return new_state, {"loss": loss, "probs": probs}
 
+    def train_step_scoped(state, batch, target, rng):
+        # Scoped at trace time: shard the Pallas attention over THIS mesh.
+        with attention_mesh(mesh):
+            return train_step(state, batch, target, rng)
+
     return jax.jit(
-        train_step,
+        train_step_scoped,
         in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh), None),
         donate_argnums=(0,),
     )
 
 
 def make_eval_step(config, mesh: Mesh):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+    from headct_foundation_tpu.ops.attention import attention_mesh
 
     kind = config.TRAIN.CLASSIFIER
 
@@ -265,8 +267,12 @@ def make_eval_step(config, mesh: Mesh):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return {"loss": loss, "probs": probs}
 
+    def eval_step_scoped(state, batch, target):
+        with attention_mesh(mesh):
+            return eval_step(state, batch, target)
+
     return jax.jit(
-        eval_step, in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh))
+        eval_step_scoped, in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh))
     )
 
 
@@ -284,7 +290,7 @@ def train_one_epoch(
     metric_logger = MetricLogger(logger=logger)
     all_probs, all_targets = [], []
     n_batches = len(loader) if hasattr(loader, "__len__") else 0
-    for idx, (vols, targets, _fnames) in enumerate(loader):
+    for idx, (vols, targets, _fnames) in enumerate(metric_logger.log_every(loader)):
         data = _to_device(vols, mesh, np.float32)
         tgt = _to_device(targets, mesh, np.int32)
         state, metrics = train_step(state, data, tgt, rng)

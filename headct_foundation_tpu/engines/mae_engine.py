@@ -88,14 +88,12 @@ def create_train_state(
     num_warmup_steps: int,
     dtype=jnp.bfloat16,
 ) -> Tuple[TrainState, Any, Callable]:
-
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(None)  # init traces use batch-1 samples; no shard_map
     """Initialize model + optimizer with parameters sharded per mesh rules.
 
     Returns (state, state_shardings, lr_schedule).
     """
+    from headct_foundation_tpu.ops.attention import attention_mesh
+
     model = build_mae_model(config, dtype=dtype)
     roi = config.MODEL.ROI
     sample = jnp.zeros((1, config.MAE.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
@@ -105,9 +103,11 @@ def create_train_state(
     )
 
     def _init(rng):
-        variables = model.init(
-            {"params": rng, "mask": jax.random.fold_in(rng, 1)}, sample
-        )
+        # init traces use batch-1 samples; no shard_map around attention
+        with attention_mesh(None):
+            variables = model.init(
+                {"params": rng, "mask": jax.random.fold_in(rng, 1)}, sample
+            )
         return variables["params"]
 
     params_shape = jax.eval_shape(_init, rng)
@@ -154,10 +154,6 @@ def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
 
 
 def make_train_step(mesh: Mesh, augment: bool = False):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
-
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
@@ -166,29 +162,33 @@ def make_train_step(mesh: Mesh, augment: bool = False):
     ``augment=True`` the per-step random augmentation (flips + intensity
     shift, reference mae3d_transforms) runs on device inside the step.
     """
+    from headct_foundation_tpu.ops.attention import attention_mesh
 
     def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
-        mask_rng, drop_rng = jax.random.split(step_rng)
-        if augment:
-            from headct_foundation_tpu.data.augment import mae_augment
+        # Scoped at trace time: shard the Pallas attention over THIS mesh,
+        # whatever was traced before or since.
+        with attention_mesh(mesh):
+            step_rng = jax.random.fold_in(rng, state.step)
+            mask_rng, drop_rng = jax.random.split(step_rng)
+            if augment:
+                from headct_foundation_tpu.data.augment import mae_augment
 
-            aug_rng = jax.random.fold_in(step_rng, 7)
-            batch = mae_augment(aug_rng, batch)
+                aug_rng = jax.random.fold_in(step_rng, 7)
+                batch = mae_augment(aug_rng, batch)
 
-        def loss_fn(params):
-            loss, _, _ = state.apply_fn(
-                {"params": params},
-                batch,
-                deterministic=False,
-                rngs={"mask": mask_rng, "dropout": drop_rng},
-            )
-            return loss
+            def loss_fn(params):
+                loss, _, _ = state.apply_fn(
+                    {"params": params},
+                    batch,
+                    deterministic=False,
+                    rngs={"mask": mask_rng, "dropout": drop_rng},
+                )
+                return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss}
-        return new_state, metrics
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {"loss": loss}
+            return new_state, metrics
 
     return jax.jit(
         train_step,
@@ -198,18 +198,23 @@ def make_train_step(mesh: Mesh, augment: bool = False):
 
 
 def make_eval_step(mesh: Mesh):
-    from headct_foundation_tpu.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # shard the Pallas attention over the mesh
+    from headct_foundation_tpu.ops.attention import attention_mesh
 
     def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
-        loss, _, _ = state.apply_fn(
-            {"params": state.params}, batch, deterministic=True,
-            rngs={"mask": rng},
-        )
-        return {"loss": loss}
+        with attention_mesh(mesh):
+            loss, _, _ = state.apply_fn(
+                {"params": state.params}, batch, deterministic=True,
+                rngs={"mask": rng},
+            )
+            return {"loss": loss}
 
     return jax.jit(eval_step, in_shardings=(None, batch_sharding(mesh), None))
+
+
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -237,7 +242,7 @@ def train_one_epoch(
     n_batches = len(loader) if hasattr(loader, "__len__") else None
     pending = None  # (loss_device, step_idx) — overlap host logging with device work
 
-    for idx, batch in enumerate(loader):
+    for idx, batch in enumerate(metric_logger.log_every(loader)):
         if isinstance(batch, tuple):  # loaders yield (volumes, fnames)
             batch = batch[0]
         data = _to_device_batch(batch, mesh)
@@ -316,18 +321,24 @@ def trainer(
     checkpoint_extra: Optional[Dict[str, Any]] = None,
 ) -> Tuple[TrainState, float]:
     """Epoch loop with latest/best checkpointing (reference: engine_pretrain_mae.py:149-265)."""
+    from headct_foundation_tpu.utils.misc import profile_trace
+
     best_loss = float("inf")
     save_name = config.MODEL.SAVE_NAME
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
-        state, train_stats = train_one_epoch(
-            config, state, train_step, train_loader, mesh, rng, lr_schedule,
-            epoch, max_epochs, logger=logger, wandb_run=wandb_run,
-        )
+        # HEADCT_PROFILE_DIR captures a jax.profiler trace of the first epoch.
+        with profile_trace() if epoch == start_epoch else _nullcontext():
+            state, train_stats = train_one_epoch(
+                config, state, train_step, train_loader, mesh, rng, lr_schedule,
+                epoch, max_epochs, logger=logger, wandb_run=wandb_run,
+            )
         if logger:
             logger.info(
                 f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s  "
-                f"train loss {train_stats.get('loss', float('nan')):.4f}"
+                f"train loss {train_stats.get('loss', float('nan')):.4f}  "
+                f"iter {train_stats.get('iter_time', 0.0):.3f}s "
+                f"(data {train_stats.get('data_time', 0.0):.3f}s)"
             )
         if jax.process_index() == 0:
             save_checkpoint(

@@ -141,6 +141,24 @@ class FeatureExtractor:
         out, _ = self(x)
         return np.asarray(out[:, 0, :])
 
+    def attention_maps(self, x: np.ndarray) -> List[np.ndarray]:
+        """Per-layer post-softmax attention matrices for visualization
+        (reference ``save_attn`` surface, src/models/attentionblock.py:36,
+        62-64). Returns ``num_layers`` arrays of shape [B, H, T, T]."""
+        x = jnp.asarray(np.asarray(x, dtype=np.float32))
+        if x.ndim == 4:
+            x = x[None]
+        model = self.model.clone(save_attn=True)
+        _, inter = model.apply(
+            {"params": self.params}, x, mutable=["intermediates"]
+        )
+        maps = []
+        blocks = inter["intermediates"]
+        for i in range(self.model.num_layers):
+            # sow stores a tuple of values per call; one call per forward
+            maps.append(np.asarray(blocks[f"blocks_{i}"]["attn"]["att_mat"][0]))
+        return maps
+
 
 def build_extractor_from_config(config, checkpoint_path: Optional[str] = None,
                                 **kwargs) -> FeatureExtractor:

@@ -18,6 +18,7 @@ fp32 params (``dtype`` vs ``param_dtype``).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 import os
@@ -65,11 +66,19 @@ class LoraLinear(nn.Module):
 
 
 class SelfAttention(nn.Module):
+    """``save_attn=True`` materializes the post-softmax attention matrix and
+    sows it into the 'intermediates' collection as ``att_mat`` — the
+    counterpart of the reference's ``save_attn`` buffer (reference:
+    src/models/attentionblock.py:36,62-64), used for attention-map
+    visualization. It forces the unfused XLA path (the fused kernel never
+    materializes probabilities), so leave it off for training."""
+
     hidden_size: int
     num_heads: int = 12
     dropout: float = 0.0
     qkv_bias: bool = False
     lora: bool = False
+    save_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -100,7 +109,14 @@ class SelfAttention(nn.Module):
             q = q + lq.reshape(B, N, H, D)
             v = v + lv.reshape(B, N, H, D)
 
-        y = dot_product_attention(q, k, v)  # [B, N, H, D]
+        if self.save_attn:
+            scale = 1.0 / float(D) ** 0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            self.sow("intermediates", "att_mat", probs)
+            y = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+        else:
+            y = dot_product_attention(q, k, v)  # [B, N, H, D]
         y = y.reshape(B, N, C)
 
         y = nn.Dense(
@@ -157,6 +173,7 @@ class AttentionBlock(nn.Module):
     dropout_rate: float = 0.0
     qkv_bias: bool = False
     lora: bool = False
+    save_attn: bool = False
     norm_layer: str = "layernorm"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -170,6 +187,7 @@ class AttentionBlock(nn.Module):
             dropout=self.dropout_rate,
             qkv_bias=self.qkv_bias,
             lora=self.lora,
+            save_attn=self.save_attn,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",

@@ -47,6 +47,7 @@ class ViT(nn.Module):
     post_activation: str = "Tanh"
     qkv_bias: bool = False
     lora: bool = False
+    save_attn: bool = False  # sow per-block att_mat into 'intermediates'
     norm_layer: str = "layernorm"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -109,6 +110,7 @@ class ViT(nn.Module):
                 dropout_rate=self.dropout_rate,
                 qkv_bias=self.qkv_bias,
                 lora=self.lora,
+                save_attn=self.save_attn,
                 norm_layer=self.norm_layer,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,

@@ -15,6 +15,8 @@ is already near roofline; the Pallas path exists for the high-resolution
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Optional
 
 import jax
@@ -41,22 +43,53 @@ def get_attention_backend() -> str:
     return _BACKEND
 
 
-def set_attention_mesh(mesh) -> None:
-    """Register the active device mesh for the Pallas attention path.
+_CTX = threading.local()
+_UNSET = object()
 
-    GSPMD cannot partition a pallas_call — without this, a sharded batch gets
-    ALL-GATHERED around the kernel (verified in tests). With a registered
-    mesh, the kernel is shard_map-ped: batch over ('data','fsdp'), heads over
-    'tensor' (the Megatron head split). Engines call this when building
-    steps; pass None for single-device/inference use."""
+
+@contextlib.contextmanager
+def attention_mesh(mesh):
+    """Scope the device mesh for the Pallas attention path.
+
+    GSPMD cannot partition a pallas_call — without a mesh, a sharded batch
+    gets ALL-GATHERED around the kernel (verified in tests). With a mesh, the
+    kernel is shard_map-ped: batch over ('data','fsdp'), heads over 'tensor'
+    (the Megatron head split).
+
+    The mesh is read at TRACE time, so the engines enter this context
+    *inside* their jitted step functions — every trace and retrace sees the
+    mesh captured in that step's closure, regardless of what was built or
+    traced in between (two meshes in one process, eval steps built after
+    init traces, etc.). ``mesh=None`` explicitly selects the unsharded
+    single-device path (init traces on batch-1 samples)."""
+    prev = getattr(_CTX, "mesh", _UNSET)
+    _CTX.mesh = mesh
+    try:
+        yield
+    finally:
+        if prev is _UNSET:
+            _CTX.mesh = _UNSET
+        else:
+            _CTX.mesh = prev
+
+
+def set_attention_mesh(mesh) -> None:
+    """Process-global fallback used when no attention_mesh() scope is active
+    (scripts / notebooks driving bare models). Engines use the scoped context
+    manager instead."""
     global _MESH
     _MESH = mesh
+
+
+def _current_mesh():
+    ctx = getattr(_CTX, "mesh", _UNSET)
+    return _MESH if ctx is _UNSET else ctx
 
 
 def _pallas_sharded(q, k, v, scale):
     from headct_foundation_tpu.ops.flash_attention import fused_attention
 
-    mesh = _MESH
+    mesh = _current_mesh()
     if mesh is None or all(int(s) == 1 for s in mesh.shape.values()):
         return fused_attention(q, k, v, scale)
 

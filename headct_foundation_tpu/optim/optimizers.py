@@ -130,8 +130,8 @@ def scale_by_lamb(
             lambda g, m, v: _moments(g, m, v), updates, state.exp_avg, state.exp_avg_sq,
             is_leaf=lambda x: isinstance(x, jnp.ndarray),
         )
-        exp_avg = jax.tree.map(lambda t: t[0], new, is_leaf=lambda x: isinstance(x, tuple))
-        exp_avg_sq = jax.tree.map(lambda t: t[1], new, is_leaf=lambda x: isinstance(x, tuple))
+        exp_avg = jax.tree.map(lambda t: t[0], new, is_leaf=lambda x: type(x) is tuple)
+        exp_avg_sq = jax.tree.map(lambda t: t[1], new, is_leaf=lambda x: type(x) is tuple)
 
         def _update(p, m, v):
             adam_step = m / (jnp.sqrt(v) + eps)
@@ -201,8 +201,8 @@ def scale_by_lion_with_wd(
                 return delta.astype(p.dtype), m_new
 
         out = jax.tree.map(_leaf, params, updates, state.exp_avg)
-        deltas = jax.tree.map(lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple))
-        exp_avg = jax.tree.map(lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple))
+        deltas = jax.tree.map(lambda t: t[0], out, is_leaf=lambda x: type(x) is tuple)
+        exp_avg = jax.tree.map(lambda t: t[1], out, is_leaf=lambda x: type(x) is tuple)
         return deltas, LionState(state.count + 1, exp_avg)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -267,6 +267,9 @@ def get_optimizer(
                 b1=config.TRAIN.BETA1,
                 b2=config.TRAIN.BETA2,
                 weight_decay=weight_decay,
+                # Fused Pallas kernel, the reference's Lion(use_triton=True)
+                # (reference: src/utils/optimizers.py:305-307).
+                use_pallas=bool(getattr(config.TRAIN, "LION_FUSED", False)),
             ),
             # lion emits the final delta; flip sign convention only.
             optax.scale(1.0),

@@ -132,3 +132,55 @@ def restore_state(
             )
         )
     return new_state, payload.get("epoch", 0), payload.get("best_loss", float("inf"))
+
+
+def _restore_tree(target: Any, payload_sd: Any) -> Any:
+    """from_state_dict a payload subtree onto a (possibly sharded) target."""
+    restored = serialization.from_state_dict(
+        jax.tree.map(np.asarray, jax.device_get(target)), payload_sd
+    )
+    return jax.tree.map(
+        lambda t, n: jax.device_put(np.asarray(n, dtype=t.dtype), t.sharding),
+        target,
+        restored,
+    )
+
+
+def restore_dino_state(
+    state: Any, payload: Dict[str, Any], logger=None
+) -> Tuple[Any, int, float]:
+    """Full DINO resume: student params, teacher params, optimizer state,
+    DINO center, student/teacher head BatchNorm stats, and step — everything
+    the trainer checkpoints (mirror of the reference's full model + optimizer
+    + scheduler + epoch restore, reference: src/utils/misc.py:55-69).
+
+    Returns (state, epoch, best_loss). Missing payload entries (older
+    checkpoints, cross-format loads) are skipped with a log line instead of
+    silently resetting everything.
+    """
+    replace = {"params": _restore_tree(state.params, payload["params"])}
+    skipped = []
+    optional = {
+        "teacher_params": "momentum_model_state_dict",
+        "opt_state": "opt_state",
+        "center": "center",
+        "head_stats": "head_stats",
+        "teacher_head_stats": "teacher_head_stats",
+    }
+    for field, key in optional.items():
+        if key in payload:
+            try:
+                replace[field] = _restore_tree(getattr(state, field), payload[key])
+            except (ValueError, KeyError, TypeError) as e:
+                skipped.append(f"{key} ({e})")
+        else:
+            skipped.append(key)
+    new_state = state.replace(
+        step=jax.device_put(
+            np.asarray(payload.get("step", 0), dtype=np.int32), state.step.sharding
+        ),
+        **replace,
+    )
+    if skipped and logger:
+        logger.warning(f"DINO resume: not restored: {skipped}")
+    return new_state, payload.get("epoch", 0), payload.get("best_loss", float("inf"))

@@ -11,8 +11,9 @@
 
 from __future__ import annotations
 
+import time
 from collections import defaultdict, deque
-from typing import Dict, Optional
+from typing import Dict, Iterable, Iterator, Optional
 
 import numpy as np
 from sklearn.metrics import roc_auc_score
@@ -74,6 +75,24 @@ class MetricLogger:
 
     def __str__(self) -> str:
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
+
+    def log_every(
+        self, iterable: Iterable, print_freq: int = 0, header: str = ""
+    ) -> Iterator:
+        """Yield items while tracking per-iteration data/step wall time in the
+        ``data_time`` / ``iter_time`` meters (reference:
+        MetricLogger.log_every, src/utils/misc.py:240-284). ``data_time`` is
+        the wait on the loader — if it approaches ``iter_time`` the input
+        pipeline is the bottleneck. ``print_freq=0`` collects silently (the
+        engines emit their own per-step lines)."""
+        end = time.time()
+        for i, obj in enumerate(iterable):
+            self.meters["data_time"].update(time.time() - end)
+            yield obj
+            self.meters["iter_time"].update(time.time() - end)
+            end = time.time()
+            if self.logger and print_freq and (i + 1) % print_freq == 0:
+                self.logger.info(f"{header} [{i + 1}]  {self}")
 
 
 def binary_auroc(targets: np.ndarray, probs: np.ndarray) -> float:

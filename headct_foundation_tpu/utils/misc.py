@@ -1,76 +1,25 @@
-"""Miscellaneous utilities mirroring the reference's misc surface
-(reference: src/utils/misc.py) where they still make sense in JAX.
+"""Profiling hook — the TPU-native replacement for the reference's coarse
+per-epoch timing (SURVEY.md §5 tracing row; reference: src/utils/misc.py's
+MetricLogger.log_every iter timing lives in utils/metrics.py here).
 
-Omitted on purpose (subsumed by SPMD JAX): init_distributed_mode /
-all_reduce_mean / concat_all_gather / AllGatherFunction — collectives are
-inserted by XLA under sharded jit; clip_gradients / cosine schedules /
-_update_momentum_encoder live in optim/ and the engines.
+The reference surface's other misc helpers are subsumed elsewhere:
+init_distributed_mode / all_reduce_mean / concat_all_gather /
+AllGatherFunction — collectives are inserted by XLA under sharded jit;
+clip_gradients / cosine schedules / _update_momentum_encoder live in optim/
+and the engines; MetricLogger / SmoothedValue in utils/metrics.py.
 """
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple
-
-
-def create_dataset(
-    images: Sequence[str], labels: Optional[Sequence[Any]]
-) -> List[Dict[str, Any]]:
-    """List-of-dicts manifest builder (reference: misc.py:17-32)."""
-    if labels is None:
-        return [{"image": img} for img in images]
-    return [
-        {"image": img, "pred_label": label} for img, label in zip(images, labels)
-    ]
-
-
-def datafold_read(
-    datalist: str, basedir: str, fold: int = 0, key: str = "training"
-) -> Tuple[List[Dict], List[Dict]]:
-    """K-fold JSON datalist split (reference: misc.py:99-120)."""
-    with open(datalist) as f:
-        json_data = json.load(f)[key]
-
-    for d in json_data:
-        for k in d:
-            if isinstance(d[k], list):
-                d[k] = [os.path.join(basedir, iv) for iv in d[k]]
-            elif isinstance(d[k], str):
-                d[k] = os.path.join(basedir, d[k]) if len(d[k]) > 0 else d[k]
-
-    tr, val = [], []
-    for d in json_data:
-        if "fold" in d and d["fold"] == fold:
-            val.append(d)
-        else:
-            tr.append(d)
-    return tr, val
-
-
-class AverageMeter:
-    """Running average meter (reference: misc.py:123-137)."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
-
-    def update(self, val: float, n: int = 1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count if self.count > 0 else self.sum
+from typing import Optional
 
 
 def profile_trace(log_dir: Optional[str] = None):
     """Context manager starting a jax.profiler trace when log_dir (or
-    HEADCT_PROFILE_DIR) is set — the TPU-native replacement for the
-    reference's coarse per-epoch timing (SURVEY.md §5 tracing row)."""
+    HEADCT_PROFILE_DIR) is set. The engines wrap their first training epoch
+    in this, so `HEADCT_PROFILE_DIR=/tmp/trace python main_pretrain_mae.py ...`
+    captures a device trace with zero code changes."""
     import contextlib
 
     log_dir = log_dir or os.environ.get("HEADCT_PROFILE_DIR")

@@ -185,11 +185,24 @@ def _rename_module_path(
     return out
 
 
+# Position-embedding leaves that may be interpolated across grid sizes at
+# load time instead of being dropped on shape mismatch (reference:
+# main_pretrain_mae.py:132 calls interpolate_pos_embed before load_state_dict;
+# src/utils/pos_embed.py:102-153). Both leaves store patch tokens only —
+# CLS/register tokens live in separate parameters — so num_extra_tokens=0.
+POS_EMBED_LEAVES = ("position_embeddings", "decoder_pos_embed")
+
+
 def merge_params(
     target: Any, source: Any
 ) -> Tuple[Any, List[str], List[str]]:
     """strict=False merge of ``source`` into ``target`` (both nested dicts /
-    pytrees of arrays). Returns (merged, missing_keys, unexpected_keys)."""
+    pytrees of arrays). Returns (merged, missing_keys, unexpected_keys).
+
+    Position-embedding leaves whose token count differs from the target's
+    (e.g. a 96^3-trained checkpoint loaded into a 192^3 model) are trilinearly
+    interpolated to the target grid rather than discarded, matching the
+    reference's checkpoint-time interpolation."""
     import jax
 
     missing: List[str] = []
@@ -214,8 +227,28 @@ def merge_params(
         src = np.asarray(s)
         tgt_shape = tuple(getattr(t, "shape", np.asarray(t).shape))
         if tuple(src.shape) != tgt_shape:
-            unexpected.append(f"{path} (shape {src.shape} != {tgt_shape})")
-            return t
+            leaf = path.rsplit(".", 1)[-1]
+            if (
+                leaf in POS_EMBED_LEAVES
+                and src.ndim == 3
+                and len(tgt_shape) == 3
+                and src.shape[0] == tgt_shape[0] == 1
+                and src.shape[-1] == tgt_shape[-1]
+            ):
+                from headct_foundation_tpu.models.pos_embed import (
+                    interpolate_pos_embed,
+                )
+
+                src = np.asarray(
+                    interpolate_pos_embed(
+                        jax.numpy.asarray(src, dtype=np.float32),
+                        num_extra_tokens=0,
+                        new_num_patches=tgt_shape[-2],
+                    )
+                )
+            else:
+                unexpected.append(f"{path} (shape {src.shape} != {tgt_shape})")
+                return t
         dtype = getattr(t, "dtype", np.float32)
         return jax.numpy.asarray(src, dtype=dtype) if hasattr(t, "devices") else src.astype(dtype)
 

@@ -23,7 +23,7 @@ from headct_foundation_tpu.config import get_config
 from headct_foundation_tpu.engines import dino_engine
 from headct_foundation_tpu.logger import create_logger
 from headct_foundation_tpu.parallel.mesh import mesh_from_config
-from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+from headct_foundation_tpu.utils.checkpoint import load_checkpoint, restore_dino_state
 from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
 from main_pretrain_mae import init_wandb
 
@@ -109,28 +109,42 @@ def main(config, wandb_run, logger):
             )
         else:
             payload = load_checkpoint(path)
-            from headct_foundation_tpu.utils.torch_interop import merge_params
-
-            merged, _, _ = merge_params(jax.device_get(state.params), payload["params"])
-            state = state.replace(
-                params=jax.tree.map(
-                    lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                    state.params, merged,
+            try:
+                # Full resume: params + teacher + opt_state + center + head
+                # stats + step (reference restores model/optimizer/scheduler/
+                # epoch, src/utils/misc.py:55-69).
+                state, start_epoch, _ = restore_dino_state(
+                    state, payload, logger=logger
                 )
-            )
-            if "momentum_model_state_dict" in payload:
-                mt, _, _ = merge_params(
-                    jax.device_get(state.teacher_params),
-                    payload["momentum_model_state_dict"],
+                logger.info(f"Resumed (full) from {path} at epoch {start_epoch}")
+            except (ValueError, KeyError, TypeError) as e:
+                # Architecture-mismatched checkpoint: tolerant strict=False
+                # param merge (reference load_model semantics, misc.py:72-96).
+                logger.info(f"Full resume failed ({e}); merging params only")
+                from headct_foundation_tpu.utils.torch_interop import merge_params
+
+                merged, _, _ = merge_params(
+                    jax.device_get(state.params), payload["params"]
                 )
                 state = state.replace(
-                    teacher_params=jax.tree.map(
+                    params=jax.tree.map(
                         lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                        state.teacher_params, mt,
+                        state.params, merged,
                     )
                 )
-            start_epoch = payload.get("epoch", 0)
-            logger.info(f"Resumed from {path} at epoch {start_epoch}")
+                if "momentum_model_state_dict" in payload:
+                    mt, _, _ = merge_params(
+                        jax.device_get(state.teacher_params),
+                        payload["momentum_model_state_dict"],
+                    )
+                    state = state.replace(
+                        teacher_params=jax.tree.map(
+                            lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                            state.teacher_params, mt,
+                        )
+                    )
+                start_epoch = payload.get("epoch", 0)
+                logger.info(f"Resumed from {path} at epoch {start_epoch}")
 
     train_step = dino_engine.make_train_step(config, mesh)
     eval_step = dino_engine.make_eval_step(config, mesh)
