@@ -226,11 +226,31 @@ def weighted_indices(
 # Threaded loader
 # ---------------------------------------------------------------------------
 
+def _drain(q: "queue.Queue") -> None:
+    try:
+        while True:
+            q.get_nowait()
+    except queue.Empty:
+        pass
+
+
 class ThreadedLoader:
-    """Thread-pool prefetching loader yielding collated numpy batches.
+    """Persistent thread-pool prefetching loader yielding collated numpy
+    batches.
 
     Iterating yields batches; items that failed load are placeholders (never
     None), so batch shapes are static — a TPU requirement (no recompiles).
+
+    TPU-first pipelining (the reference hides this behind MONAI's
+    ThreadDataLoader, src/data/datasets.py:115-120):
+
+    * The worker pool is created ONCE and lives across epochs — no per-epoch
+      thread startup, no cold pool while the TPU waits on the first batch.
+    * Item futures are submitted in a sliding window that spans batch
+      boundaries, so workers never idle between batches.
+    * When an epoch's last batch is produced, the next epoch's production
+      starts immediately (bounded by the prefetch queue) — checkpoint/val
+      time at the epoch boundary doubles as loading time for the next epoch.
     """
 
     def __init__(
@@ -249,7 +269,10 @@ class ThreadedLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
-        self._len_cache: Optional[int] = None
+        self._pool = None
+        self._lock = threading.Lock()
+        # epoch -> (queue, stop_event) produced ahead of a future __iter__
+        self._pending: Dict[int, Tuple["queue.Queue", threading.Event]] = {}
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -258,34 +281,89 @@ class ThreadedLoader:
         n = len(self.indices_fn(self.epoch))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Any]:
-        indices = self.indices_fn(self.epoch)
-        n_batches = len(self)
+    def close(self) -> None:
+        with self._lock:
+            for q, stop in self._pending.values():
+                stop.set()
+                _drain(q)
+            self._pending.clear()
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+                self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="headct-loader"
+            )
+        return self._pool
+
+    def _start_epoch(self, epoch: int) -> Tuple["queue.Queue", threading.Event]:
+        """Kick off background production of one epoch's batches."""
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        pool = self._ensure_pool()
+        indices = self.indices_fn(epoch)
+        n = len(indices)
+        n_batches = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
         def _producer():
             try:
-                from concurrent.futures import ThreadPoolExecutor
+                from collections import deque as _deque
 
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for batch_idx in batches:
-                        if stop.is_set():
+                flat = iter(idx for b in batches for idx in b)
+                futures: "_deque" = _deque()
+                # enough in flight to cover the current batch plus busy workers
+                target = self.batch_size + 2 * self.num_workers
+
+                def _top_up():
+                    while len(futures) < target:
+                        try:
+                            i = next(flat)
+                        except StopIteration:
                             return
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(_collate(items))
+                        futures.append(pool.submit(self.dataset.__getitem__, i))
+
+                _top_up()
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    items = []
+                    for _ in batch_idx:
+                        items.append(futures.popleft().result())
+                        _top_up()
+                    out_q.put(_collate(items))
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)
             finally:
                 out_q.put(None)
 
-        t = threading.Thread(target=_producer, daemon=True)
-        t.start()
+        threading.Thread(target=_producer, daemon=True).start()
+        return out_q, stop
+
+    def __iter__(self) -> Iterator[Any]:
+        epoch = self.epoch
+        with self._lock:
+            pending = self._pending.pop(epoch, None)
+            for q, stop in self._pending.values():  # stale lookaheads
+                stop.set()
+                _drain(q)
+            self._pending.clear()
+        if pending is None:
+            pending = self._start_epoch(epoch)
+        out_q, stop = pending
         try:
             while True:
                 item = out_q.get()
@@ -294,8 +372,19 @@ class ThreadedLoader:
                 if isinstance(item, Exception):
                     raise item
                 yield item
+            # Epoch drained: start loading the next one while the trainer
+            # checkpoints/validates (bounded by the prefetch queue). Purely
+            # opportunistic — an indices_fn that rejects epoch+1 skips it.
+            try:
+                nxt = self._start_epoch(epoch + 1)
+            except Exception:
+                nxt = None
+            if nxt is not None:
+                with self._lock:
+                    self._pending[epoch + 1] = nxt
         finally:
             stop.set()
+            _drain(out_q)
 
 
 def _collate(items: List[Any]) -> Any:

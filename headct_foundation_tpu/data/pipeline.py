@@ -1,0 +1,140 @@
+"""Host→device input pipeline: double-buffered batch prefetch onto the mesh.
+
+The reference feeds the GPU with a blocking per-step ``data.to(device)``
+(reference: engine_pretrain_mae.py:56). TPU-native, the transfer is hoisted
+into a background thread that keeps ``depth`` batches resident on device ahead
+of the train loop, so H2D copies ride under device compute and the step never
+waits on PCIe:
+
+    loader threads (disk/preprocess) → DevicePrefetcher (shard_batch + H2D)
+        → train loop (dispatch only)
+
+Volumes cross the wire in their storage dtype (fp16 from the disk cache —
+half the H2D bytes of fp32); the jitted step casts to bfloat16 on device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from headct_foundation_tpu.parallel.mesh import batch_sharding, shard_batch
+
+
+class DevicePrefetcher:
+    """Wrap an iterable of host batches; yield device-resident batches.
+
+    Batches may be bare arrays or tuples whose field ``field`` is the volume
+    array (extra fields — filenames, labels — pass through untouched on host).
+    Yields the same structure with the volume replaced by a sharded
+    ``jax.Array`` (and, with ``with_counts=True``, appends the real
+    pre-padding batch size for consumers that slice per-sample outputs).
+    """
+
+    def __init__(
+        self,
+        loader: Any,
+        mesh: Any,
+        depth: int = 2,
+        field: int = 0,
+        dtype: Optional[Any] = None,
+        with_counts: bool = False,
+    ):
+        self.loader = loader
+        self.mesh = mesh
+        self.depth = max(depth, 1)
+        self.field = field
+        self.dtype = dtype
+        self.with_counts = with_counts
+
+    @classmethod
+    def wrap(cls, loader: Any, mesh: Any, **kw) -> "DevicePrefetcher":
+        return loader if isinstance(loader, cls) else cls(loader, mesh, **kw)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    # Transfers larger than this are split into concurrent chunks: multiple
+    # in-flight copies pipeline the transport (PCIe DMA channels locally;
+    # measured ~2-20x aggregate on a remote-attached chip's tunnel).
+    CHUNK_BYTES = 48 << 20
+
+    def _place(self, batch: Any) -> Any:
+        if isinstance(batch, tuple):
+            vol = np.asarray(batch[self.field])
+            dev, n = self._put(vol)
+            out = batch[: self.field] + (dev,) + batch[self.field + 1 :]
+            return out + (n,) if self.with_counts else out
+        dev, n = self._put(np.asarray(batch))
+        return (dev, n) if self.with_counts else dev
+
+    def _put(self, vol: np.ndarray):
+        """Host batch -> sharded device array, transfer completed HERE in the
+        producer thread. device_put can be lazy (the copy otherwise lands
+        inside the consumer's step time); blocking in the background thread
+        is what actually overlaps the copy with device compute."""
+        single = (
+            jax.process_count() == 1
+            and int(np.prod(list(self.mesh.shape.values()))) == 1
+        )
+        if single and vol.nbytes > self.CHUNK_BYTES:
+            n_chunks = -(-vol.nbytes // self.CHUNK_BYTES)
+            parts = [jax.device_put(p) for p in np.array_split(vol, n_chunks)]
+            dev = jnp.concatenate(parts, axis=0)
+            if self.dtype is not None:
+                dev = dev.astype(self.dtype)
+            dev = jax.device_put(dev, batch_sharding(self.mesh))  # no-op view
+            try:
+                jax.block_until_ready(dev)
+            except Exception:
+                pass
+            return dev, vol.shape[0]
+        dev, n = shard_batch(vol, self.mesh, dtype=self.dtype)
+        try:
+            jax.block_until_ready(dev)
+        except Exception:
+            pass
+        return dev, n
+
+    def __iter__(self) -> Iterator[Any]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def _producer():
+            try:
+                for batch in self.loader:
+                    if stop.is_set():
+                        return
+                    out_q.put(self._place(batch))
+                    if stop.is_set():
+                        return
+            except Exception as e:
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        threading.Thread(target=_producer, daemon=True).start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

@@ -330,6 +330,8 @@ def make_train_step(config, mesh: Mesh):
     def train_step_scoped(state, batch, rng, momentum, teacher_temp, cancel):
         # Scoped at trace time: shard the Pallas attention over THIS mesh.
         with attention_mesh(mesh):
+            # Storage-dtype batches (fp16 off the disk cache) → bfloat16.
+            batch = batch.astype(jnp.bfloat16)
             return train_step(state, batch, rng, momentum, teacher_temp, cancel)
 
     return jax.jit(
@@ -387,6 +389,7 @@ def make_eval_step(config, mesh: Mesh):
 
     def eval_step_scoped(state, batch, rng, teacher_temp):
         with attention_mesh(mesh):
+            batch = batch.astype(jnp.bfloat16)
             return eval_step(state, batch, rng, teacher_temp)
 
     return jax.jit(
@@ -408,10 +411,42 @@ def train_one_epoch(
     epoch: int, max_epoch: int, logger=None, wandb_run=None,
     momentum_global_step: bool = False,
 ) -> Tuple[DINOTrainState, Dict[str, float]]:
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+
     metric_logger = MetricLogger(logger=logger)
     n_batches = len(loader) if hasattr(loader, "__len__") else 0
+    loader = DevicePrefetcher.wrap(loader, mesh)  # H2D overlapped with compute
     cancel = jnp.asarray(1.0 if epoch < config.DINO.FREEZE_LAST_LAYER else 0.0)
     temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
+
+    from headct_foundation_tpu.engines.mae_engine import LOSS_FLUSH
+
+    # Batched loss fetches: every value fetch is a host<->device round trip;
+    # fetch LOSS_FLUSH at a time (see mae_engine.train_one_epoch). NaN abort
+    # fires within LOSS_FLUSH steps.
+    pending = []
+
+    def _flush():
+        losses = jax.device_get([l for l, _ in pending])
+        for loss, (_, idx) in zip(losses, pending):
+            loss = float(loss)
+            if not math.isfinite(loss):
+                if logger:
+                    logger.info(f"Loss is {loss}, stopping training")
+                sys.exit(1)
+            it = n_batches * epoch + idx
+            lr = float(lr_schedule(it))
+            wd = float(wd_sched[min(it, len(wd_sched) - 1)])
+            metric_logger.update(loss=loss, lr=lr, wd=wd)
+            if logger:
+                logger.info(
+                    f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
+                )
+            if wandb_run is not None:
+                wandb_run.log(
+                    {"Training Loss": loss, "Training lr": lr, "Training wd": wd}
+                )
+        pending.clear()
 
     for idx, batch_data in enumerate(metric_logger.log_every(loader)):
         batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data
@@ -421,24 +456,13 @@ def train_one_epoch(
         m_idx = min(it if momentum_global_step else idx, len(momentum_sched) - 1)
         m = jnp.asarray(momentum_sched[m_idx], jnp.float32)
 
-        data = _to_device_batch(batch, mesh)
+        data = batch if isinstance(batch, jax.Array) else _to_device_batch(batch, mesh)
         state, metrics = train_step(state, data, rng, m, temp, cancel)
+        pending.append((metrics["loss"], idx))
+        if len(pending) >= LOSS_FLUSH:
+            _flush()
 
-        loss = float(jax.device_get(metrics["loss"]))
-        if not math.isfinite(loss):
-            if logger:
-                logger.info(f"Loss is {loss}, stopping training")
-            sys.exit(1)
-        lr = float(lr_schedule(it))
-        wd = float(wd_sched[min(it, len(wd_sched) - 1)])
-        metric_logger.update(loss=loss, lr=lr, wd=wd)
-        if logger:
-            logger.info(
-                f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
-            )
-        if wandb_run is not None:
-            wandb_run.log({"Training Loss": loss, "Training lr": lr, "Training wd": wd})
-
+    _flush()
     return state, metric_logger.averages()
 
 
@@ -446,11 +470,14 @@ def val_one_epoch(
     config, state, eval_step, loader, mesh, rng, temp_sched, epoch, max_epoch,
     logger=None,
 ) -> Dict[str, float]:
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+
     metric_logger = MetricLogger(logger=logger)
+    loader = DevicePrefetcher.wrap(loader, mesh)
     temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
     for idx, batch_data in enumerate(loader):
         batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data
-        data = _to_device_batch(batch, mesh)
+        data = batch if isinstance(batch, jax.Array) else _to_device_batch(batch, mesh)
         metrics = eval_step(state, data, jax.random.fold_in(rng, idx), temp)
         loss = float(jax.device_get(metrics["loss"]))
         metric_logger.update(loss=loss)

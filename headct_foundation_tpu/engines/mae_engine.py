@@ -168,6 +168,9 @@ def make_train_step(mesh: Mesh, augment: bool = False):
         # Scoped at trace time: shard the Pallas attention over THIS mesh,
         # whatever was traced before or since.
         with attention_mesh(mesh):
+            # Batches arrive in storage dtype (fp16 from the disk cache —
+            # half the H2D bytes); compute in bfloat16 from here on.
+            batch = batch.astype(jnp.bfloat16)
             step_rng = jax.random.fold_in(rng, state.step)
             mask_rng, drop_rng = jax.random.split(step_rng)
             if augment:
@@ -202,6 +205,7 @@ def make_eval_step(mesh: Mesh):
 
     def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         with attention_mesh(mesh):
+            batch = batch.astype(jnp.bfloat16)
             loss, _, _ = state.apply_fn(
                 {"params": state.params}, batch, deterministic=True,
                 rngs={"mask": rng},
@@ -238,31 +242,44 @@ def train_one_epoch(
     logger=None,
     wandb_run=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+
     metric_logger = MetricLogger(logger=logger)
     n_batches = len(loader) if hasattr(loader, "__len__") else None
-    pending = None  # (loss_device, step_idx) — overlap host logging with device work
+    loader = DevicePrefetcher.wrap(loader, mesh)  # H2D overlapped with compute
+    # Per-step losses are fetched in batches of LOSS_FLUSH: every value fetch
+    # is a host<->device round trip (33 ms over a remote-attached chip), so
+    # fetching one-by-one would serialize RTTs into the step time. Every loss
+    # is still fetched, logged, and NaN-checked — the hard abort (reference:
+    # engine_pretrain_mae.py:76-78) fires within LOSS_FLUSH steps instead
+    # of 1. Also bounds the dispatch queue depth.
+    pending = []  # [(loss_device, step_idx)]
+
+    def _flush():
+        losses = jax.device_get([l for l, _ in pending])
+        for loss, (_, idx) in zip(losses, pending):
+            _log_step(float(loss), idx, config, metric_logger, lr_schedule,
+                      epoch, max_epoch, n_batches, logger, wandb_run)
+        pending.clear()
 
     for idx, batch in enumerate(metric_logger.log_every(loader)):
         if isinstance(batch, tuple):  # loaders yield (volumes, fnames)
             batch = batch[0]
-        data = _to_device_batch(batch, mesh)
+        data = batch if isinstance(batch, jax.Array) else _to_device_batch(batch, mesh)
         state, metrics = train_step(state, data, rng)
+        pending.append((metrics["loss"], idx))
+        if len(pending) >= LOSS_FLUSH:
+            _flush()
 
-        if pending is not None:
-            _log_step(pending, config, metric_logger, lr_schedule, epoch,
-                      max_epoch, n_batches, logger, wandb_run)
-        pending = (metrics["loss"], idx)
-
-    if pending is not None:
-        _log_step(pending, config, metric_logger, lr_schedule, epoch, max_epoch,
-                  n_batches, logger, wandb_run)
+    _flush()
     return state, metric_logger.averages()
 
 
-def _log_step(pending, config, metric_logger, lr_schedule, epoch, max_epoch,
+LOSS_FLUSH = 8  # steps between batched loss fetches (see train_one_epoch)
+
+
+def _log_step(loss, idx, config, metric_logger, lr_schedule, epoch, max_epoch,
               n_batches, logger, wandb_run):
-    loss_dev, idx = pending
-    loss = float(jax.device_get(loss_dev))
     if not math.isfinite(loss):
         if logger:
             logger.info(f"Loss is {loss}, stopping training")
@@ -290,11 +307,14 @@ def val_one_epoch(
     max_epoch: int,
     logger=None,
 ) -> Dict[str, float]:
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+
     metric_logger = MetricLogger(logger=logger)
+    loader = DevicePrefetcher.wrap(loader, mesh)
     for idx, batch in enumerate(loader):
         if isinstance(batch, tuple):
             batch = batch[0]
-        data = _to_device_batch(batch, mesh)
+        data = batch if isinstance(batch, jax.Array) else _to_device_batch(batch, mesh)
         metrics = eval_step(state, data, jax.random.fold_in(rng, idx))
         loss = float(jax.device_get(metrics["loss"]))
         metric_logger.update(loss=loss)
@@ -327,6 +347,10 @@ def trainer(
     save_name = config.MODEL.SAVE_NAME
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
+        if hasattr(train_loader, "set_epoch"):
+            # Keeps the loader's cross-epoch lookahead aligned (pretrain
+            # indices ignore the epoch, so semantics are unchanged).
+            train_loader.set_epoch(epoch)
         # HEADCT_PROFILE_DIR captures a jax.profiler trace of the first epoch.
         with profile_trace() if epoch == start_epoch else _nullcontext():
             state, train_stats = train_one_epoch(

@@ -107,6 +107,101 @@ def test_threaded_loader_batches(tmp_path):
     assert len(fnames) == 2
 
 
+class _ArrayDataset:
+    """Index -> deterministic tiny array; counts construction-thread names."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        import threading
+
+        return (np.full((2, 2), idx, dtype=np.float16),
+                threading.current_thread().name)
+
+
+def test_threaded_loader_persistent_pool_and_lookahead():
+    ds = _ArrayDataset(8)
+    per_epoch = {0: np.arange(8), 1: np.arange(8)[::-1], 2: np.arange(4)}
+    loader = ThreadedLoader(
+        ds, batch_size=2,
+        indices_fn=lambda epoch: per_epoch[epoch],
+        num_workers=2, prefetch=2,
+    )
+    # epoch 0: order matches indices_fn
+    vals = [b[0][:, 0, 0].tolist() for b in loader]
+    assert vals == [[0, 1], [2, 3], [4, 5], [6, 7]]
+    # pool persists across epochs (same object)
+    pool0 = loader._pool
+    assert pool0 is not None
+    # lookahead for epoch 1 was started; consuming epoch 1 uses it and is
+    # correct even though set_epoch changed after the lookahead began
+    loader.set_epoch(1)
+    vals1 = [b[0][:, 0, 0].tolist() for b in loader]
+    assert vals1 == [[7, 6], [5, 4], [3, 2], [1, 0]]
+    assert loader._pool is pool0
+    # jumping to a non-looked-ahead epoch discards the stale lookahead
+    loader.set_epoch(2)
+    assert len(loader) == 2
+    vals2 = [b[0][:, 0, 0].tolist() for b in loader]
+    assert vals2 == [[0, 1], [2, 3]]
+    loader.close()
+    assert loader._pool is None
+
+
+def test_threaded_loader_abandoned_iteration():
+    ds = _ArrayDataset(64)
+    loader = ThreadedLoader(
+        ds, batch_size=4,
+        indices_fn=lambda epoch: np.arange(64),
+        num_workers=2, prefetch=2,
+    )
+    it = iter(loader)
+    first = next(it)
+    assert first[0][:, 0, 0].tolist() == [0, 1, 2, 3]
+    it.close()  # abandon mid-epoch: must not deadlock or leak the pool
+    # loader still usable afterwards
+    vals = [b[0][:, 0, 0].tolist() for b in loader]
+    assert vals[0] == [0, 1, 2, 3] and len(vals) == 16
+    loader.close()
+
+
+def test_device_prefetcher_matches_host_batches():
+    import jax
+
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=len(jax.devices()))
+    rng = np.random.RandomState(0)
+    host_batches = [
+        (rng.rand(8, 1, 4, 4, 4).astype(np.float16), [f"f{i}"]) for i in range(3)
+    ]
+    pf = DevicePrefetcher(host_batches, mesh, depth=2)
+    out = list(pf)
+    assert len(out) == len(pf) == 3
+    for (host, fnames), got in zip(host_batches, out):
+        dev, got_fnames = got
+        assert isinstance(dev, jax.Array)
+        assert dev.dtype == jnp_float16()
+        np.testing.assert_array_equal(np.asarray(dev), host)
+        assert got_fnames == fnames
+    # bare-array batches and with_counts
+    bare = [rng.rand(5, 2).astype(np.float32)]
+    dev, n = next(iter(DevicePrefetcher(bare, mesh, with_counts=True)))
+    assert n == 5  # real batch size before mesh padding
+    np.testing.assert_array_equal(np.asarray(dev)[:5], bare[0])
+
+
+def jnp_float16():
+    import jax.numpy as jnp
+
+    return jnp.float16
+
+
 def test_finetune_factories(tmp_path):
     paths = _make_scans(tmp_path, 8)
     labels = [0, 1, 0, 1, 0, 0, 1, 0]
