@@ -165,7 +165,17 @@ class MLPBlock(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Pre-norm transformer block: x + attn(norm(x)); x + mlp(norm(x))."""
+    """Pre-norm transformer block: x + attn(norm(x)); x + mlp(norm(x)).
+
+    ``remat_mlp=True`` rematerializes the MLP half in the backward pass —
+    the block's largest activations (the [B, T, mlp_dim] GELU tensors) are
+    recomputed instead of stored. The attention half is deliberately NOT
+    rematerialized: recomputing it would re-trace the Pallas flash-attention
+    kernel inside the remat backward, which XLA fails to compile in
+    reasonable time (measured: >20 min for ViT-B whole-block remat). MLP-only
+    remat captures most of the memory win at a tiny recompute cost and keeps
+    the custom-VJP attention path intact.
+    """
 
     hidden_size: int
     mlp_dim: int
@@ -175,6 +185,7 @@ class AttentionBlock(nn.Module):
     lora: bool = False
     save_attn: bool = False
     norm_layer: str = "layernorm"
+    remat_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,8 +203,11 @@ class AttentionBlock(nn.Module):
             param_dtype=self.param_dtype,
             name="attn",
         )(attn_in, deterministic=deterministic)
+        mlp_cls = MLPBlock
+        if self.remat_mlp:
+            mlp_cls = nn.remat(MLPBlock, static_argnums=(2,))
         mlp_in = make_norm(self.norm_layer, self.hidden_size, name="ffn_norm")(x)
-        x = x + MLPBlock(
+        x = x + mlp_cls(
             hidden_size=self.hidden_size,
             mlp_dim=self.mlp_dim,
             dropout_rate=self.dropout_rate,

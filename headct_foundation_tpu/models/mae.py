@@ -112,17 +112,17 @@ class MaskedAutoencoderViT(nn.Module):
             param_dtype=self.param_dtype,
         )
 
-        block_cls = AttentionBlock
-        if self.remat:
-            block_cls = nn.remat(AttentionBlock, static_argnums=(2,))
+        # MLP-only remat: whole-block remat would re-trace the Pallas
+        # attention in backward (see AttentionBlock docstring).
         self.blocks = [
-            block_cls(
+            AttentionBlock(
                 hidden_size=self.encoder_embed_dim,
                 mlp_dim=self.encoder_mlp_dim,
                 num_heads=self.encoder_num_heads,
                 dropout_rate=self.dropout_rate,
                 qkv_bias=self.use_bias,
                 norm_layer=self.norm_layer,
+                remat_mlp=self.remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
@@ -130,13 +130,14 @@ class MaskedAutoencoderViT(nn.Module):
             for i in range(self.encoder_depth)
         ]
         self.decoder_blocks = [
-            block_cls(
+            AttentionBlock(
                 hidden_size=self.decoder_embed_dim,
                 mlp_dim=self.decoder_mlp_dim,
                 num_heads=self.decoder_num_heads,
                 dropout_rate=self.dropout_rate,
                 qkv_bias=self.use_bias,
                 norm_layer=self.norm_layer,
+                remat_mlp=self.remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"decoder_blocks_{i}",

@@ -6,9 +6,9 @@ patch embed -> prepend CLS -> insert register tokens after CLS (arXiv
 norm (eps 1e-6) -> optional Tanh classification head. ``__call__`` returns
 ``(x, hidden_states_out)`` exactly like the reference forward.
 
-TPU-first details: blocks run under ``nn.remat`` optionally (config
-PARALLEL.REMAT) to trade FLOPs for HBM; compute dtype is configurable
-(bfloat16 for training) with fp32 parameters.
+TPU-first details: config PARALLEL.REMAT rematerializes the MLP half of each
+block to trade FLOPs for HBM (MLP-only — see AttentionBlock docstring);
+compute dtype is configurable (bfloat16 for training) with fp32 parameters.
 """
 
 from __future__ import annotations
@@ -97,13 +97,9 @@ class ViT(nn.Module):
         tokens.append(x)
         x = jnp.concatenate(tokens, axis=1)
 
-        block_cls = AttentionBlock
-        if self.remat:
-            block_cls = nn.remat(AttentionBlock, static_argnums=(2,))
-
         hidden_states_out: List[jnp.ndarray] = []
         for i in range(self.num_layers):
-            x = block_cls(
+            x = AttentionBlock(
                 hidden_size=self.hidden_size,
                 mlp_dim=self.mlp_dim,
                 num_heads=self.num_heads,
@@ -112,6 +108,9 @@ class ViT(nn.Module):
                 lora=self.lora,
                 save_attn=self.save_attn,
                 norm_layer=self.norm_layer,
+                # MLP-only remat: whole-block remat would re-trace the Pallas
+                # attention in backward (see AttentionBlock docstring).
+                remat_mlp=self.remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",

@@ -87,17 +87,27 @@ def _current_mesh():
 
 
 def _pallas_sharded(q, k, v, scale):
-    from headct_foundation_tpu.ops.flash_attention import fused_attention
+    from headct_foundation_tpu.ops.flash_attention import (
+        VMEM_PATH_MAX_T,
+        blocked_fused_attention,
+        fused_attention,
+    )
+
+    # Whole-sequence VMEM kernel for short T; blocked streaming kernel (both
+    # with custom VJPs — fully differentiable) beyond it.
+    kernel = fused_attention if q.shape[1] <= VMEM_PATH_MAX_T else (
+        blocked_fused_attention
+    )
 
     mesh = _current_mesh()
     if mesh is None or all(int(s) == 1 for s in mesh.shape.values()):
-        return fused_attention(q, k, v, scale)
+        return kernel(q, k, v, scale)
 
     from jax.sharding import PartitionSpec as P
 
     spec = P(("data", "fsdp"), None, "tensor", None)
     fn = jax.shard_map(
-        lambda q, k, v: fused_attention(q, k, v, scale),
+        lambda q, k, v: kernel(q, k, v, scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
@@ -125,12 +135,8 @@ def dot_product_attention(
       [B, Tq, H, D] attention output in q.dtype.
     """
     if get_attention_backend() == "pallas":
-        from headct_foundation_tpu.ops.flash_attention import VMEM_PATH_MAX_T
-
-        if q.shape[1] <= VMEM_PATH_MAX_T:
-            # differentiable fused kernel (custom VJP recomputes P in bwd)
-            return _pallas_sharded(q, k, v, scale)
-        # Long sequences: the blocked pallas kernel (flash_attention) is
-        # forward-only; XLA stays the differentiable path here until the
-        # blocked kernel grows a custom VJP.
+        # Differentiable at any T: whole-sequence VMEM kernel for short
+        # sequences, blocked streaming kernel (custom VJP, Dao alg. 4) for
+        # long ones — the 192^3/4096-token stretch config trains on Pallas.
+        return _pallas_sharded(q, k, v, scale)
     return jax.nn.dot_product_attention(q, k, v, scale=scale)

@@ -235,6 +235,245 @@ def _fused_bwd(scale, residuals, g):
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable BLOCKED flash attention (custom VJP, long sequences)
+#
+# For T beyond the VMEM whole-sequence path (4096 tokens at 192^3 resolution),
+# the forward kernel streams KV blocks with online softmax and emits the
+# per-row logsumexp; the backward recomputes probabilities blockwise from
+# (q, k, lse) — Dao et al. algorithm 4 — in two kernels: one accumulating
+# dk/dv per KV block, one accumulating dq per Q block. No [T, T] tensor ever
+# exists in HBM in either direction.
+# ---------------------------------------------------------------------------
+
+def _blocked_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                        scale: float, block_k: int, t_real: int):
+    q = q_ref[0].astype(jnp.float32) * scale        # [BQ, D]
+    bq, d = q.shape
+    t_padded = k_ref.shape[1]
+    num_kv = t_padded // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        kv_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _blocked_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dk_ref, dv_ref, *, scale: float, block_q: int,
+                        t_real: int):
+    """One program per (batch*head, KV block): accumulate dk/dv over Q blocks.
+
+    Padding correctness: padded KV rows are masked to -inf scores (p = 0);
+    padded Q rows carry do = 0 and delta = 0, so their dv contribution is 0
+    and ds = p * (0 - 0) = 0 — no explicit Q mask needed.
+    """
+    kv_idx = pl.program_id(1)
+    k_blk = k_ref[0].astype(jnp.float32)            # [BK, D]
+    v_blk = v_ref[0].astype(jnp.float32)
+    bk, d = k_blk.shape
+    t_padded = q_ref.shape[1]
+    num_q = t_padded // block_q
+    kv_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]   # [1, BQ]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]
+        s_t = scale * jax.lax.dot_general(
+            k_blk, q_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # [BK, BQ]
+        s_t = jnp.where(kv_pos < t_real, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_t, do_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_t = jax.lax.dot_general(
+            v_blk, do_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # [BK, BQ]
+        ds_t = p_t * (dp_t - delta)
+        dk_acc = dk_acc + scale * jax.lax.dot_general(
+            ds_t, q_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (zeros, zeros))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _blocked_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, *, scale: float, block_k: int, t_real: int):
+    """One program per (batch*head, Q block): accumulate dq over KV blocks."""
+    q_blk = q_ref[0].astype(jnp.float32)            # [BQ, D]
+    do_blk = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]                    # [BQ, 1]
+    delta = delta_ref[0, 0][:, None]
+    bq, d = q_blk.shape
+    t_padded = k_ref.shape[1]
+    num_kv = t_padded // block_k
+
+    def body(i, dq_acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        kv_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return dq_acc + scale * jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blocked_fused_attention(q, k, v, scale=None):
+    """Differentiable blocked flash attention [B, T, H, D] for long T."""
+    o, _ = _blocked_fwd_impl(q, k, v, scale)
+    return o
+
+
+def _blocked_block_sizes(T: int):
+    block_q = min(BLOCK_Q, _round_up(T, 8))
+    block_k = min(BLOCK_K, _round_up(T, 8))
+    t_pad = _round_up(T, max(block_q, block_k))
+    return block_q, block_k, t_pad
+
+
+def _blocked_fwd_impl(q, k, v, scale):
+    B, T, H, D = q.shape
+    s = float(D) ** -0.5 if scale is None else scale
+    block_q, block_k, t_pad = _blocked_block_sizes(T)
+    qp = _prep_bhtd(q, B, H, T, D, t_pad)
+    kp = _prep_bhtd(k, B, H, T, D, t_pad)
+    vp = _prep_bhtd(v, B, H, T, D, t_pad)
+
+    grid = (B * H, t_pad // block_q)
+    qo_spec = pl.BlockSpec(
+        (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, t_pad, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, 1, block_q), lambda bh, i: (bh, 0, i), memory_space=pltpu.VMEM
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_blocked_fwd_kernel, scale=s, block_k=block_k, t_real=T),
+        grid=grid,
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=(qo_spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, t_pad), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp)
+    return _unprep(o, B, H, T, D), (qp, kp, vp, o, lse)
+
+
+def _blocked_fwd(q, k, v, scale):
+    out, res = _blocked_fwd_impl(q, k, v, scale)
+    B, T, H, D = q.shape
+    return out, (res, (B, T, H, D))
+
+
+def _blocked_bwd(scale, residuals, g):
+    (qp, kp, vp, o, lse), (B, T, H, D) = residuals
+    s = float(D) ** -0.5 if scale is None else scale
+    block_q, block_k, t_pad = _blocked_block_sizes(T)
+    gp = _prep_bhtd(g, B, H, T, D, t_pad)
+    # delta_i = dO_i . O_i (padded rows: dO = 0 -> delta = 0)
+    delta = jnp.sum(gp.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = delta[:, None, :]                         # [BH, 1, t_pad]
+
+    full_spec = pl.BlockSpec(
+        (1, t_pad, D), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+    full_row = pl.BlockSpec(
+        (1, 1, t_pad), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_blk_spec = pl.BlockSpec(
+        (1, block_k, D), lambda bh, j: (bh, j, 0), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_blocked_dkv_kernel, scale=s, block_q=block_q, t_real=T),
+        grid=(B * H, t_pad // block_k),
+        in_specs=[full_spec, kv_blk_spec, kv_blk_spec, full_spec, full_row,
+                  full_row],
+        out_specs=(kv_blk_spec, kv_blk_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, t_pad, D), kp.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), vp.dtype),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp, gp, lse, delta)
+
+    q_blk_spec = pl.BlockSpec(
+        (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+    )
+    row_blk = pl.BlockSpec(
+        (1, 1, block_q), lambda bh, i: (bh, 0, i), memory_space=pltpu.VMEM
+    )
+    dq = pl.pallas_call(
+        functools.partial(_blocked_dq_kernel, scale=s, block_k=block_k, t_real=T),
+        grid=(B * H, t_pad // block_q),
+        in_specs=[q_blk_spec, full_spec, full_spec, q_blk_spec, row_blk,
+                  row_blk],
+        out_specs=q_blk_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), qp.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp, gp, lse, delta)
+
+    return (
+        _unprep(dq, B, H, T, D),
+        _unprep(dk, B, H, T, D),
+        _unprep(dv, B, H, T, D),
+    )
+
+
+blocked_fused_attention.defvjp(_blocked_fwd, _blocked_bwd)
+
+
 def _make_kernel(scale: float, block_k: int, t_real: int):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]

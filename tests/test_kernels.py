@@ -81,6 +81,70 @@ def test_fused_attention_grads_match_xla():
         )
 
 
+@pytest.mark.parametrize("t", [192, 300])
+def test_blocked_fused_attention_grads_match_xla(t):
+    """Blocked (long-T) flash attention: forward AND backward vs XLA,
+    including sequence lengths that exercise block padding. Block sizes are
+    128, so t=300 pads to 384 with partial last blocks in both Q and KV."""
+    from headct_foundation_tpu.ops.flash_attention import blocked_fused_attention
+
+    rng = np.random.RandomState(4)
+    B, H, D = 2, 2, 32
+    q = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+    w = jnp.asarray(rng.randn(B, t, H, D), dtype=jnp.float32)
+
+    o1 = np.asarray(blocked_fused_attention(q, k, v, None))
+    o2 = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(o1, o2, atol=2e-5, rtol=1e-4)
+
+    def loss_blocked(q, k, v):
+        return jnp.sum(blocked_fused_attention(q, k, v, None) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * w)
+
+    g1 = jax.grad(loss_blocked, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_long_sequence_dispatch_uses_blocked_kernel():
+    """dot_product_attention at T>1024 must route to the differentiable
+    blocked Pallas kernel (the 192^3/4096-token stretch-config train path)."""
+    from headct_foundation_tpu.ops.attention import (
+        dot_product_attention,
+        set_attention_backend,
+        set_attention_mesh,
+    )
+
+    set_attention_backend("pallas")
+    set_attention_mesh(None)
+    try:
+        rng = np.random.RandomState(5)
+        B, T, H, D = 1, 1100, 2, 16
+        q = jnp.asarray(rng.randn(B, T, H, D), dtype=jnp.float32)
+
+        def loss(q):
+            return jnp.sum(dot_product_attention(q, q, q) ** 2)
+
+        g = jax.grad(loss)(q)  # must be differentiable end to end
+        g_ref = jax.grad(
+            lambda q: jnp.sum(jax.nn.dot_product_attention(q, q, q) ** 2)
+        )(q)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), atol=1e-3, rtol=1e-3
+        )
+    finally:
+        set_attention_backend("xla")
+        set_attention_mesh(None)
+
+
 def test_pallas_attention_shards_without_allgather():
     """GSPMD can't partition pallas_call; the mesh-registered shard_map
     wrapper must keep the batch sharded (no all-gather in the HLO)."""
