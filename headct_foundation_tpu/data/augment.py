@@ -154,6 +154,16 @@ def crop_and_resize(
     W[b, o, i] = clip(1 - |coord(b, o) - i|, 0, 1) — the linear hat kernel,
     which is also exactly zero outside the volume (the zero-padding canvas).
     Three einsums ride the MXU; no gathers anywhere.
+
+    DELIBERATE DEVIATION from the reference: MONAI ``Resized`` defaults to
+    'area' interpolation in the reference's DINO crop chain
+    (reference: src/data/transforms.py:75-99), while this kernel is
+    trilinear. The crops are randomly sampled training augmentations, so the
+    difference is distributional, not bitwise: for downsampling boxes the
+    hat kernel is a slightly narrower low-pass than area averaging. The
+    deterministic eval/feature paths use exact 'area'
+    (data/transforms.py:area_resize, data/device_preprocess.py), which is
+    where bitwise parity matters.
     """
     out_shape = tuple(out_shape)
     in_shape = x.shape[2:]

@@ -283,6 +283,34 @@ def _to_device(arr: np.ndarray, mesh: Mesh, dtype) -> jnp.ndarray:
     return dev
 
 
+def _local_rows(garr, n_local: int) -> np.ndarray:
+    """This process's rows of a (possibly process-spanning) global array, in
+    contribution order, sliced to the real pre-padding local batch size.
+
+    Multi-host, ``device_get`` of the full global array is invalid (rows on
+    other hosts are not addressable); each process reads back exactly the
+    shard it contributed via ``shard_batch``. Single-host this is the whole
+    batch — identical to the old behavior."""
+    shards = sorted(
+        garr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return rows[:n_local]
+
+
+def _gather_rows(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process row blocks across processes. Metrics (and the
+    best-AUROC model selection they drive) must be computed on the GLOBAL
+    prediction set so every process picks the same best model. No-op
+    single-host."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(arr)  # [P, n, ...]
+    return np.concatenate(list(np.asarray(gathered)), axis=0)
+
+
 def train_one_epoch(
     config, state, train_step, loader, mesh, rng, epoch, max_epoch, logger=None,
     wandb_run=None,
@@ -299,8 +327,8 @@ def train_one_epoch(
             if logger:
                 logger.info(f"Loss is {loss}, stopping training")
             sys.exit(1)
-        # slice off batch padding added by shard_batch
-        all_probs.append(np.asarray(jax.device_get(metrics["probs"]))[: len(targets)])
+        # this process's rows, minus the shard_batch padding
+        all_probs.append(_local_rows(metrics["probs"], len(targets)))
         all_targets.append(np.asarray(targets))
         metric_logger.update(loss=loss)
         if logger:
@@ -312,7 +340,8 @@ def train_one_epoch(
     stats = metric_logger.averages()
     if all_probs:
         m = multiclass_metrics(
-            np.concatenate(all_targets), np.concatenate(all_probs),
+            _gather_rows(np.concatenate(all_targets)),
+            _gather_rows(np.concatenate(all_probs)),
             config.DATA.NUM_CLASSES,
         )
         stats.update(m)
@@ -331,7 +360,7 @@ def val_one_epoch(
         metrics = eval_step(state, data, tgt)
         loss = float(jax.device_get(metrics["loss"]))
         metric_logger.update(loss=loss)
-        all_probs.append(np.asarray(jax.device_get(metrics["probs"]))[: len(targets)])
+        all_probs.append(_local_rows(metrics["probs"], len(targets)))
         all_targets.append(np.asarray(targets))
         all_fnames.extend(fnames)
         if logger:
@@ -341,9 +370,14 @@ def val_one_epoch(
         probs = np.concatenate(all_probs)
         targets_np = np.concatenate(all_targets)
         stats.update(
-            multiclass_metrics(targets_np, probs, config.DATA.NUM_CLASSES)
+            multiclass_metrics(
+                _gather_rows(targets_np), _gather_rows(probs),
+                config.DATA.NUM_CLASSES,
+            )
         )
         if save_preds:
+            # per-process shard (fnames are host-local strings); multi-host,
+            # each process writes its own rank-suffixed pickle (tester)
             stats["_preds"] = {
                 "fnames": all_fnames,
                 "preds": probs[:, 1] if probs.shape[1] > 1 else probs[:, 0],
@@ -411,14 +445,19 @@ def tester(
     if wandb_run is not None and "loss" in stats:
         wandb_run.log({"Test Loss": stats["loss"]})
     preds = stats.pop("_preds", None)
-    if preds is not None and jax.process_index() == 0:
-        os.makedirs(preds_dir, exist_ok=True)
+    if preds is not None:
         name = config.PREDS_SAVE_NAME
-        path = os.path.join(preds_dir, f"{name}_preds.pkl")
-        with open(path, "wb") as f:
-            pickle.dump(preds, f)
-        if logger:
-            logger.info(f"Saved predictions to {path}")
-        if len(np.unique(preds["targets"])) > 1:
+        rank = jax.process_index()
+        if rank == 0 or jax.process_count() > 1:
+            os.makedirs(preds_dir, exist_ok=True)
+            # each process holds its own shard of predictions/filenames;
+            # rank 0 keeps the reference filename, others are rank-suffixed
+            fname = f"{name}_preds.pkl" if rank == 0 else f"{name}_rank{rank}_preds.pkl"
+            path = os.path.join(preds_dir, fname)
+            with open(path, "wb") as f:
+                pickle.dump(preds, f)
+            if logger:
+                logger.info(f"Saved predictions to {path}")
+        if rank == 0 and len(np.unique(preds["targets"])) > 1:
             plot_pr_curve(preds["targets"], preds["preds"], plots_dir, name)
     return stats

@@ -44,6 +44,39 @@ def test_extract_from_files(extractor, tmp_path):
     np.testing.assert_allclose(feats, feats2, atol=1e-4)
 
 
+@pytest.mark.parametrize("in_chans", [1, 3])
+def test_device_preprocess_matches_scipy(tmp_path, in_chans):
+    """On-device preprocessing (cubic resample + crop + area resize + window
+    as TPU matmuls) must match the scipy host path voxel-for-voxel — the
+    per-axis operators are scipy's own zoom applied to identity matrices."""
+    from headct_foundation_tpu.data.device_preprocess import DevicePreprocessor
+    from headct_foundation_tpu.data.transforms import extract_feature_preprocess
+
+    rng = np.random.RandomState(7)
+    vol = (rng.rand(40, 36, 28) * 3000 - 1000).astype(np.float32)
+    p = str(tmp_path / "scan.nii.gz")
+    save_nifti(p, vol, np.diag([1.5, 1.25, 2.0, 1.0]))  # anisotropic grid
+
+    ref = extract_feature_preprocess(p, (24, 24, 24), in_chans)
+    dev = np.asarray(DevicePreprocessor((24, 24, 24), in_chans)(p))
+    assert dev.shape == ref.shape == (in_chans, 24, 24, 24)
+    np.testing.assert_allclose(dev, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_device_preprocess_isotropic_skip(tmp_path):
+    """Spacing ~1 mm skips the resample exactly like the scipy path."""
+    from headct_foundation_tpu.data.device_preprocess import DevicePreprocessor
+    from headct_foundation_tpu.data.transforms import extract_feature_preprocess
+
+    rng = np.random.RandomState(8)
+    vol = (rng.rand(30, 30, 30) * 3000 - 1000).astype(np.float32)
+    p = str(tmp_path / "iso.nii.gz")
+    save_nifti(p, vol, np.diag([1.0, 1.0, 1.0, 1.0]))
+    ref = extract_feature_preprocess(p, (16, 16, 16), 3)
+    dev = np.asarray(DevicePreprocessor((16, 16, 16), 3)(p))
+    np.testing.assert_allclose(dev, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_average_precision():
     assert average_precision([1, 1, 0, 0]) == 1.0
     assert average_precision([0, 0, 1]) == pytest.approx(1 / 3)

@@ -56,6 +56,50 @@ _WORKER = textwrap.dedent(
     data = mae_engine._to_device_batch(local_batch, mesh)
     state, m = step(state, data, rng)
     print(f"LOSS {{float(jax.device_get(m['loss'])):.6f}}")
+
+    # --- DINO: one train step on the same mesh (EMA + center psum paths) ---
+    from headct_foundation_tpu.engines import dino_engine
+    dcfg = default_config()
+    dcfg.MODEL.ROI = [24, 24, 24]
+    dcfg.VIT.INPUT_SIZE = 24; dcfg.VIT.PATCH_SIZE = 12; dcfg.VIT.IN_CHANS = 1
+    dcfg.VIT.NUM_LAYERS = 1; dcfg.VIT.HIDDEN_SIZE = 48; dcfg.VIT.MLP_DIM = 96
+    dcfg.VIT.NUM_HEADS = 4; dcfg.VIT.NUM_REGISTER_TOKENS = 2
+    dcfg.DINO.HEAD_N_PROTOTYPES = 64; dcfg.DINO.BOTTLENECK_DIM = 16
+    dcfg.DINO.HEAD_HIDDEN_DIM = 32; dcfg.DINO.LOCAL_CROP_NUM = 2
+    dcfg.DINO.USE_BN = False
+    dcfg.TRAIN.GRAD_CLIP = 3.0
+    dstate = dino_engine.create_train_state(dcfg, mesh, rng, 10, 0, 5)[0]
+    dstep = dino_engine.make_train_step(dcfg, mesh)
+    dlocal = np.random.RandomState(10 + pid).rand(4, 1, 24, 24, 24).astype(np.float32)
+    ddata = dino_engine._to_device_batch(dlocal, mesh)
+    import jax.numpy as jnp2
+    dstate, dm = dstep(dstate, ddata, rng, jnp2.float32(0.996),
+                       jnp2.float32(0.04), jnp2.float32(1.0))
+    print(f"DINOLOSS {{float(jax.device_get(dm['loss'])):.6f}}")
+
+    # --- Downstream: eval step + per-process metric gathering ---
+    from headct_foundation_tpu.engines import downstream_engine
+    fcfg = default_config()
+    fcfg.MODEL.ROI = [24, 24, 24]
+    fcfg.VIT.INPUT_SIZE = 24; fcfg.VIT.PATCH_SIZE = 12; fcfg.VIT.IN_CHANS = 1
+    fcfg.VIT.NUM_LAYERS = 1; fcfg.VIT.HIDDEN_SIZE = 48; fcfg.VIT.MLP_DIM = 96
+    fcfg.VIT.NUM_HEADS = 4; fcfg.DATA.NUM_CLASSES = 2
+    fcfg.TRAIN.CLASSIFIER = "linear"
+    fstate, _, _ = downstream_engine.create_train_state(fcfg, mesh, rng, 10, 0)
+    festep = downstream_engine.make_eval_step(fcfg, mesh)
+    fvols = np.random.RandomState(20 + pid).rand(4, 1, 24, 24, 24).astype(np.float32)
+    ftgts = np.asarray([pid, 1 - pid, pid, 1], dtype=np.int32)
+    fdata = downstream_engine._to_device(fvols, mesh, np.float32)
+    ftgt = downstream_engine._to_device(ftgts, mesh, np.int32)
+    fm = festep(fstate, fdata, ftgt)
+    local_probs = downstream_engine._local_rows(fm["probs"], len(ftgts))
+    assert local_probs.shape == (4, 2), local_probs.shape
+    gprobs = downstream_engine._gather_rows(local_probs)
+    gtgts = downstream_engine._gather_rows(ftgts)
+    assert gprobs.shape == (8, 2), gprobs.shape
+    from headct_foundation_tpu.utils.metrics import multiclass_metrics
+    mm = multiclass_metrics(gtgts, gprobs, 2)
+    print(f"AUROC {{mm['mean_auroc']:.6f}}")
     """
 )
 
@@ -82,9 +126,23 @@ def test_two_process_spmd(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-2000:]}"
         outs.append(out)
 
-    losses = [
-        line.split()[1] for out in outs for line in out.splitlines()
-        if line.startswith("LOSS")
-    ]
+    def _values(tag):
+        return [
+            line.split()[1] for out in outs for line in out.splitlines()
+            if line.startswith(tag + " ")
+        ]
+
+    losses = _values("LOSS")
     assert len(losses) == 2
     assert losses[0] == losses[1], losses  # identical global loss on both hosts
+
+    # DINO step ran on both processes with identical global loss
+    dino_losses = _values("DINOLOSS")
+    assert len(dino_losses) == 2
+    assert dino_losses[0] == dino_losses[1], dino_losses
+
+    # downstream: per-process local rows + cross-process gather produce the
+    # SAME global metric on every process (model selection stays in sync)
+    aurocs = _values("AUROC")
+    assert len(aurocs) == 2
+    assert aurocs[0] == aurocs[1], aurocs
