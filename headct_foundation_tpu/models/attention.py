@@ -205,7 +205,9 @@ class AttentionBlock(nn.Module):
         )(attn_in, deterministic=deterministic)
         mlp_cls = MLPBlock
         if self.remat_mlp:
-            mlp_cls = nn.remat(MLPBlock, static_argnums=(2,))
+            # flax offsets static_argnums past the module scope: index 1 is
+            # the `deterministic` argument of MLPBlock.__call__
+            mlp_cls = nn.remat(MLPBlock, static_argnums=(1,))
         mlp_in = make_norm(self.norm_layer, self.hidden_size, name="ffn_norm")(x)
         x = x + mlp_cls(
             hidden_size=self.hidden_size,

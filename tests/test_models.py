@@ -184,3 +184,30 @@ def test_attention_classifier():
     variables = m.init(KEY, x)
     out, _ = m.apply(variables, x, use_running_average=False, mutable=["batch_stats"])
     assert out.shape == (3, 2)
+
+
+def test_remat_grads_match_no_remat():
+    """PARALLEL.REMAT (MLP-only remat) must be a pure memory/flops trade:
+    gradients identical to the unrematerialized model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from headct_foundation_tpu.models.vit import ViT
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 1, 24, 24, 24), jnp.float32
+    )
+    kwargs = dict(in_chans=1, img_size=24, patch_size=12, hidden_size=32,
+                  mlp_dim=64, num_layers=2, num_heads=4, qkv_bias=True)
+    m_remat = ViT(remat=True, **kwargs)
+    m_plain = ViT(remat=False, **kwargs)
+    params = m_remat.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x, False)[0] ** 2)
+
+    g1 = jax.grad(loss(m_remat))(params)
+    g2 = jax.grad(loss(m_plain))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -50,7 +50,17 @@ def _timed(fn, *args):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--full-only", action="store_true",
+                    help="time only the full train step (batch sweeps)")
+    ap.add_argument("--attn", choices=["pallas", "xla"], default=None,
+                    help="force the attention backend")
     args = ap.parse_args()
+
+    if args.attn:
+        from headct_foundation_tpu.ops.attention import set_attention_backend
+
+        set_attention_backend(args.attn)
 
     from headct_foundation_tpu.config import default_config
     from headct_foundation_tpu.engines import mae_engine
@@ -64,6 +74,7 @@ def main() -> None:
     if os.path.exists(cfg_path):
         cfg.merge_from_file(cfg_path)
     cfg.TRAIN.GRAD_CLIP = 0.0
+    cfg.PARALLEL.REMAT = bool(args.remat)
 
     n_chips = len(jax.devices())
     mesh = make_mesh(data=n_chips)
@@ -90,8 +101,8 @@ def main() -> None:
 
         model = mae_engine.build_mae_model(cfg)
         latent, _, _ = model.apply(
-            {"params": params}, b, method=MaskedAutoencoderViT.forward_encoder,
-            rngs={"mask": mask_rng},
+            {"params": params}, b, mask_rng, False,
+            method=MaskedAutoencoderViT.forward_encoder,
         )
         return jnp.mean(latent.astype(jnp.float32) ** 2)
 
@@ -111,6 +122,15 @@ def main() -> None:
 
     results["full"] = _timed(scan_jit(full_body), state, batch, rng)
 
+    if args.full_only:
+        print(json.dumps({
+            "batch_per_chip": args.batch,
+            "remat": bool(args.remat),
+            "ms_per_step": {"full": round(results["full"] * 1e3, 2)},
+            "vols_per_s_per_chip_full": round(args.batch / results["full"], 1),
+        }))
+        return
+
     # forward+backward only: fold the grads back with a negligible scale to
     # carry a true dependency without an optimizer update
     def fwd_bwd_body(carry, b, r):
@@ -122,14 +142,19 @@ def main() -> None:
 
     results["fwd_bwd"] = _timed(scan_jit(fwd_bwd_body), (state.params, 0), batch, rng)
 
-    # forward only: loss feeds the next step's batch
-    def fwd_body(carry, b, r):
-        prev, i = carry
-        mask_rng = jax.random.fold_in(r, i)
-        loss = loss_of(state.params, b + prev.astype(b.dtype) * 1e-30, mask_rng)
-        return (loss, i + 1), loss
+    # forward only: loss feeds the next step's batch. Params are an ARGUMENT
+    # (a closure would bake 600 MB of constants into the compile payload).
+    def fwd_scan(params, b, r):
+        def body(carry, _):
+            prev, i = carry
+            mask_rng = jax.random.fold_in(r, i)
+            loss = loss_of(params, b + prev.astype(b.dtype) * 1e-30, mask_rng)
+            return (loss, i + 1), loss
 
-    results["fwd"] = _timed(scan_jit(fwd_body), (jnp.float32(0), 0), batch, rng)
+        return jax.lax.scan(body, (jnp.float32(0), 0), None, length=SCAN_STEPS)
+
+    fwd_jit = jax.jit(fwd_scan, in_shardings=(None, batch_sharding(mesh), None))
+    results["fwd"] = _timed(fwd_jit, state.params, batch, rng)
 
     # encoder-only forward+backward
     def enc_body(carry, b, r):
@@ -143,15 +168,24 @@ def main() -> None:
         scan_jit(enc_body), (state.params, 0), batch, rng
     )
 
-    # optimizer update only (constant grads, state carries)
-    grads_const = jax.tree.map(lambda p: jnp.full_like(p, 1e-8), state.params)
+    # optimizer update only (grads passed as an argument, state carries)
+    grads_const = jax.jit(
+        lambda p: jax.tree.map(lambda x: jnp.full_like(x, 1e-8), p)
+    )(state.params)
 
-    def opt_body(st, b, r):
+    def opt_scan(st, grads, b, r):
         del b, r
-        st2 = st.apply_gradients(grads=grads_const)
-        return st2, st2.step.astype(jnp.float32)
 
-    results["optimizer"] = _timed(scan_jit(opt_body), state, batch, rng)
+        def body(s, _):
+            s2 = s.apply_gradients(grads=grads)
+            return s2, s2.step.astype(jnp.float32)
+
+        return jax.lax.scan(body, st, None, length=SCAN_STEPS)
+
+    opt_jit = jax.jit(
+        opt_scan, in_shardings=(None, None, batch_sharding(mesh), None)
+    )
+    results["optimizer"] = _timed(opt_jit, state, grads_const, batch, rng)
 
     vols = args.batch
     print(json.dumps({
