@@ -80,11 +80,17 @@ class DiskCache:
             except OSError:
                 cache_dir = None  # unwritable cache dir -> run uncached
         self.cache_dir = cache_dir
+        self._device_prep = None
 
     def _backend(self) -> str:
-        """Which preprocessing backend _preprocess will take: 'native' or
-        'python'. Part of the cache key — the two agree only to ~1e-5, so
-        flipping HEADCT_NATIVE must not serve the other backend's tensors."""
+        """Which preprocessing backend _preprocess will take: 'device'
+        (TPU, HEADCT_DEVICE_CACHE=1 — cubic resample/window/resize as
+        on-device matmuls, for offline cache builds on TPU hosts), 'native'
+        (C++), or 'python' (scipy). Part of the cache key — backends agree
+        only to ~1e-5, so flipping one env var must not serve another
+        backend's tensors."""
+        if os.environ.get("HEADCT_DEVICE_CACHE", "0") == "1":
+            return "device"
         if os.environ.get("HEADCT_NATIVE", "1") != "0" and len(set(self.roi)) == 1:
             from headct_foundation_tpu.data.native_loader import native_available
 
@@ -102,8 +108,21 @@ class DiskCache:
     def _preprocess(self, path: str) -> np.ndarray:
         """Native (C++) pipeline when available — ~100x faster than the
         scipy path and GIL-free, so loader threads parallelize; numerically
-        matched to fp16 precision. HEADCT_NATIVE=0 forces the python path."""
-        if self._backend() == "native":
+        matched to fp16 precision. HEADCT_NATIVE=0 forces the python path;
+        HEADCT_DEVICE_CACHE=1 selects the on-device (TPU) pipeline in the
+        training transform order."""
+        backend = self._backend()
+        if backend == "device":
+            if self._device_prep is None:
+                from headct_foundation_tpu.data.device_preprocess import (
+                    DevicePreprocessor,
+                )
+
+                self._device_prep = DevicePreprocessor(
+                    self.roi, self.in_channels, order="training"
+                )
+            return np.asarray(self._device_prep(path)).astype(np.float16)
+        if backend == "native":
             from headct_foundation_tpu.data.native_loader import (
                 load_and_preprocess_native,
             )

@@ -106,7 +106,8 @@ def _window_params(in_channels: int) -> Tuple[np.ndarray, np.ndarray]:
 def _crop_resize_window(vol, ah, aw, ad, in_channels):
     """[H', W', D'] -> windowed [C, *roi]: crop+area-resize via per-axis
     operators, then the HU window stack ((x - lo) / (hi - lo) clipped to
-    [0, 1]; reference: src/data/transforms.py:8-36)."""
+    [0, 1]; reference: src/data/transforms.py:8-36). Notebook order —
+    resize BEFORE windowing (SURVEY.md §3.4)."""
     out = jnp.einsum("ah,hwd->awd", ah, vol)
     out = jnp.einsum("bw,awd->abd", aw, out)
     out = jnp.einsum("cd,abd->abc", ad, out)
@@ -116,14 +117,38 @@ def _crop_resize_window(vol, ah, aw, ad, in_channels):
     return jnp.clip((out[None] - lo) / (hi - lo), 0.0, 1.0)
 
 
-class DevicePreprocessor:
-    """Notebook-order preprocessing (resample -> crop-foreground -> area
-    resize -> window; SURVEY.md §3.4) with every voxel-touching stage on
-    device. ``__call__`` returns a device-resident [C, *roi] float32 array."""
+@functools.partial(jax.jit, static_argnums=(4,))
+def _window_crop_resize(vol, ah, aw, ad, in_channels):
+    """Training order — window BEFORE resize (reference training chain,
+    src/data/transforms.py:159-170): HU window stack on the cropped region,
+    then crop+area-resize per channel via the same per-axis operators."""
+    lows, highs = _window_params(in_channels)
+    lo = jnp.asarray(lows)[:, None, None, None]
+    hi = jnp.asarray(highs)[:, None, None, None]
+    ch = jnp.clip((vol[None] - lo) / (hi - lo), 0.0, 1.0)  # [C, H', W', D']
+    out = jnp.einsum("ah,chwd->cawd", ah, ch)
+    out = jnp.einsum("bw,cawd->cabd", aw, out)
+    out = jnp.einsum("ed,cabd->cabe", ad, out)
+    return out
 
-    def __init__(self, roi: Sequence[int], in_channels: int):
+
+class DevicePreprocessor:
+    """Fully on-device preprocessing. ``order`` selects the transform chain:
+
+    * ``"notebook"`` (default): resample -> crop-foreground -> area resize
+      -> window — the feature-extraction order (SURVEY.md §3.4).
+    * ``"training"``: resample -> crop-foreground -> window -> area resize —
+      the training ``loading_transforms`` order (reference:
+      src/data/transforms.py:108-178); used by the device cache backend.
+
+    ``__call__`` returns a device-resident [C, *roi] float32 array."""
+
+    def __init__(self, roi: Sequence[int], in_channels: int,
+                 order: str = "notebook"):
+        assert order in ("notebook", "training"), order
         self.roi = tuple(int(r) for r in roi)
         self.in_channels = in_channels
+        self.order = order
 
     def _resample(self, data: np.ndarray, vox: np.ndarray):
         H, W, D = data.shape
@@ -173,4 +198,6 @@ class DevicePreprocessor:
             jnp.asarray(area_axis_operator(int(vol.shape[i]), s, e, self.roi[i]))
             for i, (s, e) in enumerate(bounds)
         ]
-        return _crop_resize_window(vol, *ops, self.in_channels)
+        stage = (_window_crop_resize if self.order == "training"
+                 else _crop_resize_window)
+        return stage(vol, *ops, self.in_channels)

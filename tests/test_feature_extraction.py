@@ -63,6 +63,53 @@ def test_device_preprocess_matches_scipy(tmp_path, in_chans):
     np.testing.assert_allclose(dev, ref, atol=1e-3, rtol=1e-3)
 
 
+def test_device_preprocess_training_order_matches_scipy(tmp_path):
+    """Training-order device path (window BEFORE resize) must match the
+    scipy training pipeline (load_and_preprocess) — this is what the
+    HEADCT_DEVICE_CACHE=1 cache backend serves."""
+    from headct_foundation_tpu.data.device_preprocess import DevicePreprocessor
+    from headct_foundation_tpu.data.transforms import load_and_preprocess
+
+    rng = np.random.RandomState(9)
+    vol = (rng.rand(40, 36, 28) * 3000 - 1000).astype(np.float32)
+    p = str(tmp_path / "scan.nii.gz")
+    save_nifti(p, vol, np.diag([1.5, 1.25, 2.0, 1.0]))
+
+    ref = load_and_preprocess(p, (24, 24, 24), 3).astype(np.float32)
+    dev = np.asarray(
+        DevicePreprocessor((24, 24, 24), 3, order="training")(p)
+    )
+    np.testing.assert_allclose(dev, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_device_cache_backend(tmp_path, monkeypatch):
+    """HEADCT_DEVICE_CACHE=1 routes DiskCache through the device pipeline
+    with its own cache key namespace."""
+    from headct_foundation_tpu.data.datasets import DiskCache
+    from headct_foundation_tpu.data.transforms import load_and_preprocess
+
+    rng = np.random.RandomState(10)
+    vol = (rng.rand(30, 30, 30) * 3000 - 1000).astype(np.float32)
+    p = str(tmp_path / "scan.nii.gz")
+    save_nifti(p, vol, np.diag([2.0, 2.0, 2.0, 1.0]))
+
+    cache_py = DiskCache(str(tmp_path / "c"), (16, 16, 16), 3)
+    key_default = cache_py._key(p)
+    monkeypatch.setenv("HEADCT_DEVICE_CACHE", "1")
+    cache_dev = DiskCache(str(tmp_path / "c"), (16, 16, 16), 3)
+    assert cache_dev._backend() == "device"
+    assert cache_dev._key(p) != key_default  # separate namespace
+
+    out = cache_dev.load(p)
+    assert out.shape == (3, 16, 16, 16) and out.dtype == np.float16
+    ref = load_and_preprocess(p, (16, 16, 16), 3)
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), atol=2e-3
+    )
+    # second load is a cache hit with identical bytes
+    np.testing.assert_array_equal(cache_dev.load(p), out)
+
+
 def test_device_preprocess_isotropic_skip(tmp_path):
     """Spacing ~1 mm skips the resample exactly like the scipy path."""
     from headct_foundation_tpu.data.device_preprocess import DevicePreprocessor

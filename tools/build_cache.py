@@ -45,7 +45,12 @@ def main() -> None:
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--device", action="store_true",
+                    help="preprocess on the attached TPU (on-device cubic "
+                         "resample/window/resize; sets HEADCT_DEVICE_CACHE=1)")
     args = ap.parse_args()
+    if args.device:
+        os.environ["HEADCT_DEVICE_CACHE"] = "1"
 
     paths = list(pd.read_csv(args.csv)["img_path"])[args.shard :: args.num_shards]
     cache = DiskCache(args.cache_dir, (args.roi,) * 3, args.in_chans)
