@@ -47,12 +47,15 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
-    q = q_ref[0].astype(jnp.float32) * scale          # [Tp, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Dots keep the INPUT dtype as operands (bf16 training inputs hit the
+    # MXU at full bf16 rate; fp32 test inputs keep full precision) and
+    # accumulate in f32; softmax is always f32.
+    q = q_ref[0]                                       # [Tp, D]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                  # [Tp, Tp]
+    ) * scale                                          # [Tp, Tp] f32
     tp = s.shape[0]
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
     s = jnp.where(kv_pos < t_real, s, _NEG_INF)
@@ -60,7 +63,8 @@ def _vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / jnp.maximum(l, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -104,12 +108,13 @@ VMEM_PATH_MAX_T = 1024
 # ---------------------------------------------------------------------------
 
 def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Operand-dtype dots with f32 accumulation (see _vmem_kernel).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    ) * scale
     tp = s.shape[0]
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
     s = jnp.where(kv_pos < t_real, s, _NEG_INF)
@@ -117,7 +122,8 @@ def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / jnp.maximum(l, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
@@ -125,11 +131,14 @@ def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
 
 def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                      dq_ref, dk_ref, dv_ref, *, scale, t_real):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Operand-dtype dots with f32 accumulation; probabilities/ds are
+    # computed in f32 and cast back to the operand dtype before the MXU.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
+    do_f32 = do.astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]
 
     s = scale * jax.lax.dot_general(
@@ -138,16 +147,17 @@ def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     tp = s.shape[0]
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
     s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # [Tp, Tp], exact softmax probabilities
+    p = jnp.exp(s - lse)  # [Tp, Tp] f32, exact softmax probabilities
+    p_op = p.astype(q.dtype)
 
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_op, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # P^T dO
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # dO V^T
-    delta = jnp.sum(do * o, axis=1, keepdims=True)
-    ds = p * (dp - delta)
+    delta = jnp.sum(do_f32 * o, axis=1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq = scale * jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -248,18 +258,19 @@ fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 def _blocked_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                         scale: float, block_k: int, t_real: int):
-    q = q_ref[0].astype(jnp.float32) * scale        # [BQ, D]
+    # Operand-dtype dots (bf16 at full MXU rate), f32 accumulate/softmax.
+    q = q_ref[0]                                    # [BQ, D]
     bq, d = q.shape
     t_padded = k_ref.shape[1]
     num_kv = t_padded // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         kv_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         s = jnp.where(kv_pos < t_real, s, _NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -267,7 +278,8 @@ def _blocked_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
 
@@ -290,8 +302,8 @@ def _blocked_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     and ds = p * (0 - 0) = 0 — no explicit Q mask needed.
     """
     kv_idx = pl.program_id(1)
-    k_blk = k_ref[0].astype(jnp.float32)            # [BK, D]
-    v_blk = v_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0]                                # [BK, D]
+    v_blk = v_ref[0]
     bk, d = k_blk.shape
     t_padded = q_ref.shape[1]
     num_q = t_padded // block_q
@@ -299,25 +311,25 @@ def _blocked_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]   # [1, BQ]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]
         s_t = scale * jax.lax.dot_general(
             k_blk, q_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                           # [BK, BQ]
+        )                                           # [BK, BQ] f32
         s_t = jnp.where(kv_pos < t_real, s_t, _NEG_INF)
         p_t = jnp.exp(s_t - lse)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p_t, do_blk, (((1,), (0,)), ((), ())),
+            p_t.astype(do_blk.dtype), do_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp_t = jax.lax.dot_general(
             v_blk, do_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                           # [BK, BQ]
-        ds_t = p_t * (dp_t - delta)
+        )                                           # [BK, BQ] f32
+        ds_t = (p_t * (dp_t - delta)).astype(q_blk.dtype)
         dk_acc = dk_acc + scale * jax.lax.dot_general(
             ds_t, q_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -333,8 +345,8 @@ def _blocked_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _blocked_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                        dq_ref, *, scale: float, block_k: int, t_real: int):
     """One program per (batch*head, Q block): accumulate dq over KV blocks."""
-    q_blk = q_ref[0].astype(jnp.float32)            # [BQ, D]
-    do_blk = do_ref[0].astype(jnp.float32)
+    q_blk = q_ref[0]                                # [BQ, D]
+    do_blk = do_ref[0]
     lse = lse_ref[0, 0][:, None]                    # [BQ, 1]
     delta = delta_ref[0, 0][:, None]
     bq, d = q_blk.shape
@@ -342,8 +354,8 @@ def _blocked_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     num_kv = t_padded // block_k
 
     def body(i, dq_acc):
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = scale * jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -355,7 +367,7 @@ def _blocked_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             do_blk, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq_acc + scale * jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -477,7 +489,7 @@ blocked_fused_attention.defvjp(_blocked_fwd, _blocked_bwd)
 def _make_kernel(scale: float, block_k: int, t_real: int):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]
-        q = q_ref[0].astype(jnp.float32) * scale
+        q = q_ref[0]
         bq, d = q.shape
         t_padded = k_ref.shape[1]
         num_kv = t_padded // block_k
@@ -487,13 +499,13 @@ def _make_kernel(scale: float, block_k: int, t_real: int):
 
         def body(i, carry):
             m_prev, l_prev, acc = carry
-            k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-            v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
 
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [BQ, BK]
+            ) * scale  # [BQ, BK]
             kv_pos = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_k), 1
             )
@@ -504,7 +516,7 @@ def _make_kernel(scale: float, block_k: int, t_real: int):
             alpha = jnp.exp(m_prev - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v_blk, (((1,), (0,)), ((), ())),
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_new, l_new, acc
