@@ -274,7 +274,8 @@ def feature_latency() -> None:
     rng = np.random.RandomState(0)
     paths = []
     for i in range(12):
-        vol = (rng.rand(220, 220, 140) * 3000 - 1000).astype(np.float32)
+        # integral HU like real CT (exercises the lossless int16 transfer)
+        vol = np.round(rng.rand(220, 220, 140) * 3000 - 1000).astype(np.float32)
         p = os.path.join(tmp, f"s{i}.nii.gz")
         save_nifti(p, vol, np.diag([0.5, 0.5, 1.25, 1.0]))  # realistic CT grid
         paths.append(p)

@@ -292,6 +292,11 @@ def _default_config() -> CfgNode:
     # Fused Pallas Lion update kernel (counterpart of the reference Lion's
     # use_triton flag, reference: src/utils/optimizers.py:305-307).
     _C.TRAIN.LION_FUSED = False
+    # Gradient accumulation: split each step's batch into N micro-batches,
+    # accumulate f32 grads, apply once. TPU extension beyond the reference
+    # (which has none) — matches the reference's 256-512 global batches on
+    # fewer chips at micro-batch activation memory.
+    _C.TRAIN.ACCUM_STEPS = 1
     _C.TRAIN.SCHEDULER = "cosine"
     _C.TRAIN.PER_WARMUP = 0.05
     _C.TRAIN.GRAD_CLIP = 1.0

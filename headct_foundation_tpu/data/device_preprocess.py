@@ -79,6 +79,17 @@ def _pad_op(m: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return out
 
 
+def _chunked_put(arr: np.ndarray, chunk_bytes: int = 12 << 20) -> jax.Array:
+    """device_put with multiple in-flight chunks (pipelines the transport —
+    PCIe DMA channels locally, measured multi-x aggregate on a tunneled
+    remote chip)."""
+    n = max(1, -(-arr.nbytes // chunk_bytes))
+    if n == 1:
+        return jax.device_put(arr)
+    parts = [jax.device_put(p) for p in np.array_split(arr, n, axis=0)]
+    return jnp.concatenate(parts, axis=0)
+
+
 @jax.jit
 def _apply_axes(vol: jax.Array, mh: jax.Array, mw: jax.Array, md: jax.Array):
     """vol [H, W, D] -> (Mh vol Mw^T Md^T, per-axis foreground any-flags)."""
@@ -160,13 +171,25 @@ class DevicePreprocessor:
         outs = [m.shape[0] for m in ops]
         in_b = [_round_up(n, BUCKET) for n in (H, W, D)]
         out_b = [_round_up(n, BUCKET) for n in outs]
-        padded = np.zeros(in_b, dtype=np.float32)
-        padded[:H, :W, :D] = data
+        # Ship the RAW volume (chunked concurrent H2D — pipelines the
+        # transport) and zero-pad to the bucket ON DEVICE: the padding is
+        # 2-3x the real bytes and never needs to cross the wire. CT voxels
+        # are integral HU in practice — when the volume is losslessly
+        # representable as int16, ship half the bytes and cast on device.
+        host = np.ascontiguousarray(data, dtype=np.float32)
+        as_int = host.astype(np.int16)
+        if np.array_equal(as_int.astype(np.float32), host):
+            raw = _chunked_put(as_int).astype(jnp.float32)
+        else:
+            raw = _chunked_put(host)
+        padded = jnp.pad(
+            raw, [(0, b - n) for n, b in zip((H, W, D), in_b)]
+        )
         mh, mw, md = (
             _pad_op(m, ob, ib) for m, ob, ib in zip(ops, out_b, in_b)
         )
         vol, flags = _apply_axes(
-            jnp.asarray(padded), jnp.asarray(mh), jnp.asarray(mw), jnp.asarray(md)
+            padded, jnp.asarray(mh), jnp.asarray(mw), jnp.asarray(md)
         )
         return vol, outs, [np.asarray(f) for f in flags]
 
@@ -183,13 +206,31 @@ class DevicePreprocessor:
                 bounds.append((int(nz[0]), int(nz[-1]) + 1))
         return bounds
 
-    def __call__(self, path: str) -> jax.Array:
+    def _decode(self, path: str):
+        """NIfTI decode + RAS orient: native C++ when built (GIL-free, ~2x
+        the python/zlib path), python fallback otherwise."""
+        import os
+
+        if os.environ.get("HEADCT_NATIVE", "1") != "0":
+            try:
+                from headct_foundation_tpu.data.native_loader import (
+                    decode_native,
+                    native_available,
+                )
+
+                if native_available():
+                    return decode_native(path)
+            except Exception:
+                pass  # fall through to the python decoder
         img = load_nifti(path)
         data = np.asarray(img.data, dtype=np.float32)
         if data.ndim == 4:  # drop trailing singleton (time) dim
             data = data[..., 0]
         assert data.ndim == 3, f"{path}: expected 3D volume, got {data.shape}"
-        data, affine = orientation_ras(data, img.affine)
+        return orientation_ras(data, img.affine)
+
+    def __call__(self, path: str) -> jax.Array:
+        data, affine = self._decode(path)
         vox = np.linalg.norm(affine[:3, :3], axis=0)
 
         vol, outs, flags = self._resample(data, vox)

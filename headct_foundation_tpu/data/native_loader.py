@@ -74,6 +74,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_int,
             ]
+            lib.headct_decode_open.restype = ctypes.c_void_p
+            lib.headct_decode_open.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            lib.headct_decode_read.restype = ctypes.c_int
+            lib.headct_decode_read.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.headct_decode_close.restype = None
+            lib.headct_decode_close.argtypes = [ctypes.c_void_p]
             _LIB = lib
         except (OSError, AttributeError):
             _LIB_FAILED = True
@@ -113,3 +127,26 @@ def load_and_preprocess_native(
     if rc != 0:
         raise RuntimeError(f"native preprocess failed for {path}: {err.value.decode()}")
     return out.view(np.float16).reshape(in_channels, r, r, r)
+
+
+def decode_native(path: str):
+    """NIfTI decode + RAS orient in C++ (no resampling): returns
+    (volume float32 [X, Y, Z] C-order, affine [3, 4]). Feeds the on-device
+    preprocessing path. Raises RuntimeError on failure."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    shape = (ctypes.c_int * 3)()
+    affine = (ctypes.c_double * 12)()
+    err = ctypes.create_string_buffer(256)
+    h = lib.headct_decode_open(path.encode(), shape, affine, err, len(err))
+    if not h:
+        raise RuntimeError(f"native decode failed for {path}: {err.value.decode()}")
+    try:
+        vol = np.empty((shape[0], shape[1], shape[2]), dtype=np.float32)
+        rc = lib.headct_decode_read(h, vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise RuntimeError(f"native decode read failed for {path}")
+    finally:
+        lib.headct_decode_close(h)
+    return vol, np.ctypeslib.as_array(affine).reshape(3, 4).copy()

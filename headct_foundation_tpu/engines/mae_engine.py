@@ -153,16 +153,37 @@ def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
     return jax.tree_util.tree_map_with_path(_assign, opt_shape)
 
 
-def make_train_step(mesh: Mesh, augment: bool = False):
+def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1):
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
     sharded over the data axis; rng is a per-host replicated key folded with
     the global step for reproducible, decorrelated masking. With
     ``augment=True`` the per-step random augmentation (flips + intensity
-    shift, reference mae3d_transforms) runs on device inside the step.
+    shift, reference mae3d_transforms) runs on device inside the step. With
+    ``accum_steps > 1`` the batch is split into that many micro-batches whose
+    f32-accumulated mean gradient drives ONE optimizer update — activation
+    memory is per-micro-batch, so effective batches beyond HBM capacity
+    train at full numerical fidelity (a TPU extension; the reference has no
+    accumulation).
     """
     from headct_foundation_tpu.ops.attention import attention_mesh
+
+    def _micro_loss(state, params, batch, step_rng, micro_idx):
+        micro_rng = jax.random.fold_in(step_rng, micro_idx)
+        mask_rng, drop_rng = jax.random.split(micro_rng)
+        if augment:
+            from headct_foundation_tpu.data.augment import mae_augment
+
+            aug_rng = jax.random.fold_in(micro_rng, 7)
+            batch = mae_augment(aug_rng, batch)
+        loss, _, _ = state.apply_fn(
+            {"params": params},
+            batch,
+            deterministic=False,
+            rngs={"mask": mask_rng, "dropout": drop_rng},
+        )
+        return loss
 
     def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         # Scoped at trace time: shard the Pallas attention over THIS mesh,
@@ -172,23 +193,42 @@ def make_train_step(mesh: Mesh, augment: bool = False):
             # half the H2D bytes); compute in bfloat16 from here on.
             batch = batch.astype(jnp.bfloat16)
             step_rng = jax.random.fold_in(rng, state.step)
-            mask_rng, drop_rng = jax.random.split(step_rng)
-            if augment:
-                from headct_foundation_tpu.data.augment import mae_augment
 
-                aug_rng = jax.random.fold_in(step_rng, 7)
-                batch = mae_augment(aug_rng, batch)
-
-            def loss_fn(params):
-                loss, _, _ = state.apply_fn(
-                    {"params": params},
-                    batch,
-                    deterministic=False,
-                    rngs={"mask": mask_rng, "dropout": drop_rng},
+            if accum_steps == 1:
+                loss, grads = jax.value_and_grad(_micro_loss, argnums=1)(
+                    state, state.params, batch, step_rng, 0
                 )
-                return loss
+            else:
+                B = batch.shape[0]
+                assert B % accum_steps == 0, (B, accum_steps)
+                micros = batch.reshape(
+                    (accum_steps, B // accum_steps) + batch.shape[1:]
+                )
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                def body(carry, inp):
+                    gsum, lsum = carry
+                    mb, i = inp
+                    loss, grads = jax.value_and_grad(_micro_loss, argnums=1)(
+                        state, state.params, mb, step_rng, i
+                    )
+                    gsum = jax.tree.map(
+                        lambda a, g: a + g.astype(jnp.float32), gsum, grads
+                    )
+                    return (gsum, lsum + loss), None
+
+                gsum0 = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                (gsum, lsum), _ = jax.lax.scan(
+                    body, (gsum0, jnp.float32(0)),
+                    (micros, jnp.arange(accum_steps)),
+                )
+                grads = jax.tree.map(
+                    lambda g, p: (g / accum_steps).astype(p.dtype),
+                    gsum, state.params,
+                )
+                loss = lsum / accum_steps
+
             new_state = state.apply_gradients(grads=grads)
             metrics = {"loss": loss}
             return new_state, metrics

@@ -131,7 +131,9 @@ def main(config, wandb_run, logger):
             state, start_epoch, _ = restore_state(state, payload)
             logger.info(f"Resumed from {path} at epoch {start_epoch}")
 
-    train_step = mae_engine.make_train_step(mesh, augment=True)
+    train_step = mae_engine.make_train_step(
+        mesh, augment=True, accum_steps=config.TRAIN.ACCUM_STEPS
+    )
     eval_step = mae_engine.make_eval_step(mesh)
 
     state, best_loss = mae_engine.trainer(

@@ -594,6 +594,55 @@ int headct_preprocess(const char* path, int roi, int in_channels,
     return headct_preprocess_ex(path, roi, in_channels, 0, out, err, errlen);
 }
 
-int headct_native_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Decode-only API: gunzip + NIfTI parse + RAS orient, no resampling.
+// Feeds the ON-DEVICE preprocessing path (data/device_preprocess.py), where
+// the resample/window/resize run as TPU matmuls — the host's only remaining
+// job is getting oriented HU voxels out of the file fast.
+//
+// Two-call pattern (the volume shape is unknown before parsing):
+//   h = headct_decode_open(path, shape[3], affine[12], err, errlen)  // 0 = fail
+//   headct_decode_read(h, out_f32)   // C-order [X, Y, Z] voxels
+//   headct_decode_close(h)
+// ---------------------------------------------------------------------------
+
+void* headct_decode_open(const char* path, int* shape, double* affine,
+                         char* err, int errlen) {
+    std::string e;
+    auto fail = [&](const std::string& msg) -> void* {
+        std::snprintf(err, errlen, "%s", msg.c_str());
+        return nullptr;
+    };
+    std::vector<uint8_t> raw;
+    if (!read_file_raw(path, raw, e)) return fail(e);
+    if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+        std::vector<uint8_t> inflated;
+        if (!gunzip(raw, inflated, e)) return fail(e);
+        raw = std::move(inflated);
+    }
+    Nifti img;
+    if (!parse_nifti(raw, img, e)) return fail(e);
+    auto* h = new Vol(to_c_order(img));
+    img.data.clear();
+    img.data.shrink_to_fit();
+    orient_ras(*h, img.affine);
+    shape[0] = h->nx;
+    shape[1] = h->ny;
+    shape[2] = h->nz;
+    for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 4; ++c) affine[r * 4 + c] = img.affine[r][c];
+    return h;
+}
+
+int headct_decode_read(void* handle, float* out) {
+    auto* h = static_cast<Vol*>(handle);
+    if (!h) return 1;
+    std::memcpy(out, h->v.data(), h->v.size() * sizeof(float));
+    return 0;
+}
+
+void headct_decode_close(void* handle) { delete static_cast<Vol*>(handle); }
+
+int headct_native_version() { return 3; }
 
 }  // extern "C"

@@ -55,6 +55,66 @@ def test_mae_train_step_decreases_loss(tmp_path):
     assert int(jax.device_get(state.step)) == 10
 
 
+def test_grad_accumulation_matches_mean_of_micro_grads(tmp_path):
+    """TRAIN.ACCUM_STEPS=2 must apply exactly the mean of the two
+    micro-batch gradients (same per-micro rng derivation) in one update."""
+    import jax.numpy as jnp
+
+    cfg = _tiny_config(tmp_path)
+    cfg.TRAIN.GRAD_CLIP = 0.0   # clip is nonlinear across grads; keep it off
+    cfg.TRAIN.OPTIMIZER = "SGD"  # linear in grads -> tight comparison
+    cfg.TRAIN.MOMENTUM = 0.0     # (Adam's sign-like step amplifies bf16
+    cfg.TRAIN.WEIGHT_DECAY = 0.0  # reduction noise on near-zero grads)
+    mesh = make_mesh(data=8)
+    rng = jax.random.PRNGKey(3)
+    state, _, _ = mae_engine.create_train_state(
+        cfg, mesh, rng, total_steps=50, num_warmup_steps=0
+    )
+    step = mae_engine.make_train_step(mesh, accum_steps=2)
+
+    batch = np.random.RandomState(1).randn(16, 1, 24, 24, 24).astype(np.float32)
+    data = mae_engine._to_device_batch(batch, mesh)
+
+    # replicate the step's rng derivation to compute the micro grads manually
+    params0 = jax.device_get(state.params)
+    step_rng = jax.random.fold_in(rng, state.step)
+    micros = np.asarray(jax.device_get(data), np.float32).reshape(
+        2, 8, 1, 24, 24, 24
+    )
+    grads = []
+    losses = []
+    for i in range(2):
+        micro_rng = jax.random.fold_in(step_rng, i)
+        mask_rng, drop_rng = jax.random.split(micro_rng)
+
+        def loss_fn(p, mb=micros[i], mr=mask_rng, dr=drop_rng):
+            loss, _, _ = state.apply_fn(
+                {"params": p}, jnp.asarray(mb, jnp.bfloat16),
+                deterministic=False, rngs={"mask": mr, "dropout": dr},
+            )
+            return loss
+
+        l, g = jax.value_and_grad(loss_fn)(state.params)
+        losses.append(float(l))
+        grads.append(jax.device_get(g))
+    mean_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    expected = jax.device_get(
+        state.apply_gradients(grads=jax.tree.map(jnp.asarray, mean_grads)).params
+    )
+
+    new_state, metrics = step(state, data, rng)
+    np.testing.assert_allclose(
+        float(jax.device_get(metrics["loss"])), np.mean(losses), rtol=1e-5
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(expected)[0],
+        jax.tree_util.tree_flatten_with_path(jax.device_get(new_state.params))[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(pa)
+        )
+
+
 def test_mae_sincos_params_frozen(tmp_path):
     cfg = _tiny_config(tmp_path)
     mesh = make_mesh(data=8)
