@@ -40,7 +40,6 @@ from headct_foundation_tpu.data.augment import dino_multicrop
 from headct_foundation_tpu.losses.dino_loss import (
     dino_loss,
     teacher_temp_schedule,
-    update_center,
 )
 from headct_foundation_tpu.models.dino_head import DINOHead
 from headct_foundation_tpu.models.multicrop import multicrop_forward
@@ -218,6 +217,7 @@ def make_train_step(config, mesh: Mesh):
     local_size = config.DINO.LOCAL_CROP_SIZE[0]
     local_num = config.DINO.LOCAL_CROP_NUM
     use_bn = config.DINO.USE_BN
+    accum_steps = int(getattr(config.TRAIN, "ACCUM_STEPS", 1))
     freeze_flag_dtype = jnp.float32
 
     def train_step(
@@ -231,22 +231,11 @@ def make_train_step(config, mesh: Mesh):
         step_rng = jax.random.fold_in(rng, state.step)
         crop_rng, _ = jax.random.split(step_rng)
 
-        crops = dino_multicrop(
-            crop_rng,
-            batch,
-            final_size=final_size,
-            global_crop_size=global_size,
-            local_crop_size=local_size,
-            local_crops_number=local_num,
-        )
-
-        # Teacher: 2 global crops via multicrop_forward (one batched pass —
-        # all crops share the final size, so the reference's size-grouped
-        # MultiCropWrapper loop collapses to a single group), CLS -> head.
-        # With BN in the head, both networks run train-mode batch statistics
-        # and keep their own running stats (the reference keeps teacher in
-        # .train() and never broadcasts buffers — engine_pretrain_dino.py:58,
-        # main_pretrain_dino.py:190 broadcast_buffers=False).
+        # Teacher/student heads: with BN, both networks run train-mode batch
+        # statistics and keep their own running stats (the reference keeps
+        # teacher in .train() and never broadcasts buffers —
+        # engine_pretrain_dino.py:58, main_pretrain_dino.py:190
+        # broadcast_buffers=False).
         def _head_fn(params, stats, stats_box):
             def head_apply(feats):
                 if use_bn:
@@ -262,36 +251,94 @@ def make_train_step(config, mesh: Mesh):
 
             return head_apply
 
-        t_stats_box: list = []
-        teacher_output = multicrop_forward(
-            lambda x: state.backbone_apply(
-                {"params": state.teacher_params["backbone"]}, x
-            ),
-            _head_fn(state.teacher_params["head"], state.teacher_head_stats,
-                     t_stats_box),
-            crops[:2],
-        )
-        new_teacher_head_stats = (
-            t_stats_box[0] if t_stats_box else state.teacher_head_stats
-        )
-        teacher_output = jax.lax.stop_gradient(teacher_output)
-
-        def loss_fn(params):
-            s_stats_box: list = []
-            student_output = multicrop_forward(
-                lambda x: state.backbone_apply({"params": params["backbone"]}, x),
-                _head_fn(params["head"], state.head_stats, s_stats_box),
-                crops,
+        def one_micro(mb, micro_idx, head_stats, teacher_head_stats):
+            """Crops + teacher forward + student loss/grads for one
+            micro-batch. Teacher: 2 global crops via multicrop_forward (one
+            batched pass — all crops share the final size, so the
+            reference's size-grouped MultiCropWrapper loop collapses to a
+            single group), CLS -> head."""
+            crops = dino_multicrop(
+                jax.random.fold_in(crop_rng, micro_idx),
+                mb,
+                final_size=final_size,
+                global_crop_size=global_size,
+                local_crop_size=local_size,
+                local_crops_number=local_num,
             )
-            new_stats = s_stats_box[0] if s_stats_box else state.head_stats
-            loss = dino_loss(
-                student_output, teacher_output, state.center, teacher_temp, ncrops
+            t_stats_box: list = []
+            teacher_output = multicrop_forward(
+                lambda x: state.backbone_apply(
+                    {"params": state.teacher_params["backbone"]}, x
+                ),
+                _head_fn(state.teacher_params["head"], teacher_head_stats,
+                         t_stats_box),
+                crops[:2],
             )
-            return loss, new_stats
+            new_t_stats = t_stats_box[0] if t_stats_box else teacher_head_stats
+            teacher_output = jax.lax.stop_gradient(teacher_output)
 
-        (loss, new_head_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def loss_fn(params):
+                s_stats_box: list = []
+                student_output = multicrop_forward(
+                    lambda x: state.backbone_apply(
+                        {"params": params["backbone"]}, x
+                    ),
+                    _head_fn(params["head"], head_stats, s_stats_box),
+                    crops,
+                )
+                new_stats = s_stats_box[0] if s_stats_box else head_stats
+                loss = dino_loss(
+                    student_output, teacher_output, state.center, teacher_temp,
+                    ncrops,
+                )
+                return loss, new_stats
+
+            (loss, new_s_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            t_mean = jnp.mean(teacher_output.astype(jnp.float32), axis=0)
+            return loss, grads, t_mean, new_s_stats, new_t_stats
+
+        if accum_steps == 1:
+            loss, grads, t_mean, new_head_stats, new_teacher_head_stats = (
+                one_micro(batch, 0, state.head_stats, state.teacher_head_stats)
+            )
+        else:
+            B = batch.shape[0]
+            assert B % accum_steps == 0, (B, accum_steps)
+            micros = batch.reshape(
+                (accum_steps, B // accum_steps) + batch.shape[1:]
+            )
+
+            def body(carry, inp):
+                gsum, lsum, tsum, h_stats, t_stats = carry
+                mb, i = inp
+                loss, grads, t_mean, h_stats, t_stats = one_micro(
+                    mb, i, h_stats, t_stats
+                )
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads
+                )
+                return (gsum, lsum + loss, tsum + t_mean, h_stats, t_stats), None
+
+            gsum0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            tsum0 = jnp.zeros_like(state.center[0], dtype=jnp.float32)
+            (gsum, lsum, tsum, new_head_stats, new_teacher_head_stats), _ = (
+                jax.lax.scan(
+                    body,
+                    (gsum0, jnp.float32(0), tsum0, state.head_stats,
+                     state.teacher_head_stats),
+                    (micros, jnp.arange(accum_steps)),
+                )
+            )
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype),
+                gsum, state.params,
+            )
+            loss = lsum / accum_steps
+            t_mean = tsum / accum_steps
 
         # Cancel last-layer grads during warmup epochs (reference: misc.py:366-371).
         keep = (1.0 - cancel_last_layer).astype(freeze_flag_dtype)
@@ -314,7 +361,13 @@ def make_train_step(config, mesh: Mesh):
             new_params,
         )
 
-        new_center = update_center(state.center, teacher_output)
+        # Center EMA from the mean teacher output over the whole (possibly
+        # accumulated) batch — identical to update_center(center, outputs)
+        # (losses/dino_loss.py:79-92, reference momentum 0.9).
+        new_center = (
+            state.center * 0.9
+            + t_mean[None].astype(state.center.dtype) * (1.0 - 0.9)
+        )
 
         new_state = state.replace(
             step=state.step + 1,

