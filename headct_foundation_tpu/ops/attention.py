@@ -43,6 +43,13 @@ def get_attention_backend() -> str:
     return _BACKEND
 
 
+# Sequences shorter than this use XLA even under the pallas backend (the
+# per-(b,h)-program kernels are launch-bound at tiny T). Override with
+# HEADCT_PALLAS_MIN_T (read at import time).
+import os as _os
+
+_PALLAS_MIN_T = int(_os.environ.get("HEADCT_PALLAS_MIN_T", "192"))
+
 _CTX = threading.local()
 _UNSET = object()
 
@@ -134,9 +141,13 @@ def dot_product_attention(
     Returns:
       [B, Tq, H, D] attention output in q.dtype.
     """
-    if get_attention_backend() == "pallas":
+    if get_attention_backend() == "pallas" and q.shape[1] >= _PALLAS_MIN_T:
         # Differentiable at any T: whole-sequence VMEM kernel for short
         # sequences, blocked streaming kernel (custom VJP, Dao alg. 4) for
         # long ones — the 192^3/4096-token stretch config trains on Pallas.
+        # Below _PALLAS_MIN_T the per-(batch, head)-program kernel is
+        # launch-latency bound and XLA's fused attention wins (measured:
+        # 2.0 vs 2.6 ms fwd+bwd at [32, 129, 12, 64] — the MAE encoder's
+        # masked sequence); the crossover is between 129 and 513.
         return _pallas_sharded(q, k, v, scale)
     return jax.nn.dot_product_attention(q, k, v, scale=scale)

@@ -159,7 +159,8 @@ def test_pallas_attention_shards_without_allgather():
     set_attention_backend("pallas")
     set_attention_mesh(mesh)
     try:
-        B, T, H, D = 16, 129, 4, 32
+        # T >= _PALLAS_MIN_T so the pallas shard_map path is exercised
+        B, T, H, D = 16, 256, 4, 32
         qn = np.random.RandomState(0).randn(B, T, H, D).astype(np.float32)
         q = jax.device_put(qn, batch_sharding(mesh))
         f = jax.jit(
