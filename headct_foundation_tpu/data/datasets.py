@@ -69,7 +69,13 @@ def _process_info() -> Tuple[int, int]:
 
 class DiskCache:
     """Deterministic .npy cache of preprocessed volumes (PersistentDataset
-    equivalent). Key = hash(img_path, roi, channels, pipeline version)."""
+    equivalent). Key = hash(img_path, roi, channels, pipeline version,
+    preprocessing backend).
+
+    NOTE: the backend became part of the key together with the v1 pipeline
+    version — caches built by earlier revisions (unqualified keys) are
+    orphaned and re-materialize on first use; rebuild with
+    tools/build_cache.py."""
 
     def __init__(self, cache_dir: Optional[str], roi: Sequence[int], in_channels: int):
         self.roi = tuple(roi)
@@ -290,11 +296,13 @@ class ThreadedLoader:
         self.epoch = 0
         self._pool = None
         self._lock = threading.Lock()
+        self._epoch_driven = False  # True once a trainer calls set_epoch
         # epoch -> (queue, stop_event) produced ahead of a future __iter__
         self._pending: Dict[int, Tuple["queue.Queue", threading.Event]] = {}
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        self._epoch_driven = True
 
     def __len__(self) -> int:
         n = len(self.indices_fn(self.epoch))
@@ -392,15 +400,18 @@ class ThreadedLoader:
                     raise item
                 yield item
             # Epoch drained: start loading the next one while the trainer
-            # checkpoints/validates (bounded by the prefetch queue). Purely
+            # checkpoints/validates (bounded by the prefetch queue). Only for
+            # epoch-driven (training) loaders — val/test loaders never call
+            # set_epoch and would discard the lookahead every pass. Purely
             # opportunistic — an indices_fn that rejects epoch+1 skips it.
-            try:
-                nxt = self._start_epoch(epoch + 1)
-            except Exception:
-                nxt = None
-            if nxt is not None:
-                with self._lock:
-                    self._pending[epoch + 1] = nxt
+            if self._epoch_driven:
+                try:
+                    nxt = self._start_epoch(epoch + 1)
+                except Exception:
+                    nxt = None
+                if nxt is not None:
+                    with self._lock:
+                        self._pending[epoch + 1] = nxt
         finally:
             stop.set()
             _drain(out_q)

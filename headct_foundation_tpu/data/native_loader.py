@@ -74,20 +74,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_int,
             ]
-            lib.headct_decode_open.restype = ctypes.c_void_p
-            lib.headct_decode_open.argtypes = [
-                ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int),
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_char_p,
-                ctypes.c_int,
-            ]
-            lib.headct_decode_read.restype = ctypes.c_int
-            lib.headct_decode_read.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
-            ]
-            lib.headct_decode_close.restype = None
-            lib.headct_decode_close.argtypes = [ctypes.c_void_p]
+            # decode-only API is optional (v3+): an older prebuilt .so
+            # without it must NOT disable the whole native path
+            try:
+                lib.headct_decode_open.restype = ctypes.c_void_p
+                lib.headct_decode_open.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                ]
+                lib.headct_decode_read.restype = ctypes.c_int
+                lib.headct_decode_read.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.headct_decode_close.restype = None
+                lib.headct_decode_close.argtypes = [ctypes.c_void_p]
+                lib._has_decode = True
+            except AttributeError:
+                lib._has_decode = False
             _LIB = lib
         except (OSError, AttributeError):
             _LIB_FAILED = True
@@ -134,8 +140,8 @@ def decode_native(path: str):
     (volume float32 [X, Y, Z] C-order, affine [3, 4]). Feeds the on-device
     preprocessing path. Raises RuntimeError on failure."""
     lib = get_lib()
-    if lib is None:
-        raise RuntimeError("native loader unavailable")
+    if lib is None or not getattr(lib, "_has_decode", False):
+        raise RuntimeError("native decode unavailable")
     shape = (ctypes.c_int * 3)()
     affine = (ctypes.c_double * 12)()
     err = ctypes.create_string_buffer(256)

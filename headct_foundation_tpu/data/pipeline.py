@@ -86,6 +86,9 @@ class DevicePrefetcher:
             jax.process_count() == 1
             and int(np.prod(list(self.mesh.shape.values()))) == 1
         )
+        # Errors (incl. OOM during the transfer) propagate out of the
+        # producer thread and re-raise at the consumer via the queue —
+        # do NOT swallow them here.
         if single and vol.nbytes > self.CHUNK_BYTES:
             n_chunks = -(-vol.nbytes // self.CHUNK_BYTES)
             parts = [jax.device_put(p) for p in np.array_split(vol, n_chunks)]
@@ -93,16 +96,10 @@ class DevicePrefetcher:
             if self.dtype is not None:
                 dev = dev.astype(self.dtype)
             dev = jax.device_put(dev, batch_sharding(self.mesh))  # no-op view
-            try:
-                jax.block_until_ready(dev)
-            except Exception:
-                pass
+            jax.block_until_ready(dev)
             return dev, vol.shape[0]
         dev, n = shard_batch(vol, self.mesh, dtype=self.dtype)
-        try:
-            jax.block_until_ready(dev)
-        except Exception:
-            pass
+        jax.block_until_ready(dev)
         return dev, n
 
     def __iter__(self) -> Iterator[Any]:

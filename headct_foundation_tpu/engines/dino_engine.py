@@ -596,6 +596,8 @@ def trainer(
                                "head_stats": state.head_stats,
                                "teacher_head_stats": state.teacher_head_stats},
                     )
+    if hasattr(train_loader, "close"):
+        train_loader.close()  # stop the post-final-epoch lookahead
     return state, best_loss
 
 

@@ -430,6 +430,8 @@ def trainer(
                         state, epoch, best_auroc, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger,
                     )
+    if hasattr(train_loader, "close"):
+        train_loader.close()  # stop the post-final-epoch lookahead
     return state, best, best_auroc
 
 

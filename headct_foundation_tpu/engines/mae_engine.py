@@ -255,10 +255,7 @@ def make_eval_step(mesh: Mesh):
     return jax.jit(eval_step, in_shardings=(None, batch_sharding(mesh), None))
 
 
-def _nullcontext():
-    import contextlib
-
-    return contextlib.nullcontext()
+from contextlib import nullcontext as _nullcontext
 
 
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -424,6 +421,8 @@ def trainer(
                         state, epoch, best_loss, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger, extra=checkpoint_extra,
                     )
+    if hasattr(train_loader, "close"):
+        train_loader.close()  # stop the post-final-epoch lookahead
     return state, best_loss
 
 

@@ -205,9 +205,12 @@ class AttentionBlock(nn.Module):
         )(attn_in, deterministic=deterministic)
         mlp_cls = MLPBlock
         if self.remat_mlp:
-            # flax offsets static_argnums past the module scope: index 1 is
-            # the `deterministic` argument of MLPBlock.__call__
-            mlp_cls = nn.remat(MLPBlock, static_argnums=(1,))
+            # static_argnums indexes the bound method's positional args
+            # (0=self/scope, 1=x, 2=deterministic); deterministic MUST be
+            # passed positionally below so the static marking applies —
+            # as a keyword it would be traced and nn.Dropout's python
+            # branch on it would crash whenever dropout_rate > 0.
+            mlp_cls = nn.remat(MLPBlock, static_argnums=(2,))
         mlp_in = make_norm(self.norm_layer, self.hidden_size, name="ffn_norm")(x)
         x = x + mlp_cls(
             hidden_size=self.hidden_size,
@@ -216,5 +219,5 @@ class AttentionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="mlp",
-        )(mlp_in, deterministic=deterministic)
+        )(mlp_in, deterministic)
         return x

@@ -228,12 +228,21 @@ def merge_params(
         tgt_shape = tuple(getattr(t, "shape", np.asarray(t).shape))
         if tuple(src.shape) != tgt_shape:
             leaf = path.rsplit(".", 1)[-1]
+            def _is_cube(n: int) -> bool:
+                r = round(float(n) ** (1.0 / 3.0))
+                return r ** 3 == n
+
             if (
                 leaf in POS_EMBED_LEAVES
                 and src.ndim == 3
                 and len(tgt_shape) == 3
                 and src.shape[0] == tgt_shape[0] == 1
                 and src.shape[-1] == tgt_shape[-1]
+                # both token counts must be cubic grids — anything else
+                # (e.g. a CLS-inclusive 8^3+1=513 embedding from foreign
+                # tooling) stays strict=False: reported, not a crash
+                and _is_cube(src.shape[1])
+                and _is_cube(tgt_shape[-2])
             ):
                 from headct_foundation_tpu.models.pos_embed import (
                     interpolate_pos_embed,

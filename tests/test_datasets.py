@@ -131,9 +131,12 @@ def test_threaded_loader_persistent_pool_and_lookahead():
         indices_fn=lambda epoch: per_epoch[epoch],
         num_workers=2, prefetch=2,
     )
-    # epoch 0: order matches indices_fn
+    # epoch 0: order matches indices_fn (set_epoch marks the loader as
+    # epoch-driven, enabling cross-epoch lookahead)
+    loader.set_epoch(0)
     vals = [b[0][:, 0, 0].tolist() for b in loader]
     assert vals == [[0, 1], [2, 3], [4, 5], [6, 7]]
+    assert 1 in loader._pending  # lookahead for the next epoch started
     # pool persists across epochs (same object)
     pool0 = loader._pool
     assert pool0 is not None
@@ -150,6 +153,18 @@ def test_threaded_loader_persistent_pool_and_lookahead():
     assert vals2 == [[0, 1], [2, 3]]
     loader.close()
     assert loader._pool is None
+
+
+def test_threaded_loader_no_lookahead_without_set_epoch():
+    """Val/test loaders never call set_epoch; they must not spawn (and then
+    discard) epoch+1 lookahead production on every pass."""
+    ds = _ArrayDataset(4)
+    loader = ThreadedLoader(
+        ds, batch_size=2, indices_fn=lambda epoch: np.arange(4), num_workers=1,
+    )
+    list(loader)
+    assert not loader._pending
+    loader.close()
 
 
 def test_threaded_loader_abandoned_iteration():

@@ -211,3 +211,30 @@ def test_remat_grads_match_no_remat():
     g2 = jax.grad(loss(m_plain))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_with_dropout_traces():
+    """Regression: remat_mlp must keep `deterministic` static — with a
+    traced flag, nn.Dropout's python branch crashes whenever
+    dropout_rate > 0 (TracerBoolConversionError)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from headct_foundation_tpu.models.vit import ViT
+
+    m = ViT(in_chans=1, img_size=24, patch_size=12, hidden_size=32,
+            mlp_dim=64, num_layers=1, num_heads=4, qkv_bias=True,
+            remat=True, dropout_rate=0.1)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 1, 24, 24, 24),
+                    jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x, False)["params"]
+
+    def loss(p):
+        out, _ = m.apply({"params": p}, x, False,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)  # must trace and differentiate
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))

@@ -215,3 +215,20 @@ def test_tree_to_torch_dino_head_roundtrip():
     back = torch_to_tree(sd)["params"]
     merged, missing, unexpected = merge_params(params, back)
     assert not missing and not unexpected, (missing, unexpected)
+
+
+def test_merge_params_non_cubic_pos_embed_stays_strict_false():
+    """Regression: a shape-mismatched pos-embed whose token count is not a
+    cubic grid (e.g. CLS-inclusive 513 = 8^3 + 1 from foreign tooling) must
+    be reported as unexpected, not crash the whole load."""
+    target = {"position_embeddings": np.zeros((1, 27, 8), np.float32)}
+    source = {"position_embeddings": np.ones((1, 513, 8), np.float32)}
+    merged, missing, unexpected = merge_params(target, source)
+    assert any("position_embeddings" in u for u in unexpected)
+    np.testing.assert_array_equal(merged["position_embeddings"], 0)
+
+    # cubic-grid mismatches still interpolate (8 -> 27 tokens)
+    src_cube = {"position_embeddings": np.ones((1, 8, 8), np.float32)}
+    merged2, _, unexpected2 = merge_params(target, src_cube)
+    assert not unexpected2
+    assert merged2["position_embeddings"].shape == (1, 27, 8)
