@@ -108,65 +108,71 @@ VMEM_PATH_MAX_T = 1024
 # ---------------------------------------------------------------------------
 
 def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
-    # Operand-dtype dots with f32 accumulation (see _vmem_kernel).
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    tp = s.shape[0]
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / jnp.maximum(l, 1e-30)
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    # Operand-dtype dots with f32 accumulation (see _vmem_kernel). Each
+    # program handles a BLOCK of (batch*head) rows (unrolled python loop):
+    # fewer, larger DMA transfers amortize per-program launch latency.
+    for bh in range(q_ref.shape[0]):
+        q = q_ref[bh]
+        k = k_ref[bh]
+        v = v_ref[bh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        tp = s.shape[0]
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-30)
+        o_ref[bh] = o.astype(o_ref.dtype)
+        lse_ref[bh, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                      dq_ref, dk_ref, dv_ref, *, scale, t_real):
     # Operand-dtype dots with f32 accumulation; probabilities/ds are
     # computed in f32 and cast back to the operand dtype before the MXU.
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0]
-    do_f32 = do.astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
+    # Blocked over (batch*head) rows like the forward kernel.
+    for bh in range(q_ref.shape[0]):
+        q = q_ref[bh]
+        k = k_ref[bh]
+        v = v_ref[bh]
+        o = o_ref[bh].astype(jnp.float32)
+        do = do_ref[bh]
+        do_f32 = do.astype(jnp.float32)
+        lse = lse_ref[bh, 0][:, None]
 
-    s = scale * jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    tp = s.shape[0]
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # [Tp, Tp] f32, exact softmax probabilities
-    p_op = p.astype(q.dtype)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        tp = s.shape[0]
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # [Tp, Tp] f32, exact softmax probabilities
+        p_op = p.astype(q.dtype)
 
-    dv = jax.lax.dot_general(
-        p_op, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # P^T dO
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # dO V^T
-    delta = jnp.sum(do_f32 * o, axis=1, keepdims=True)
-    ds = (p * (dp - delta)).astype(q.dtype)
-    dq = scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk = scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # dS^T Q
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        dv = jax.lax.dot_general(
+            p_op, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # P^T dO
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # dO V^T
+        delta = jnp.sum(do_f32 * o, axis=1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # dS^T Q
+        dq_ref[bh] = dq.astype(dq_ref.dtype)
+        dk_ref[bh] = dk.astype(dk_ref.dtype)
+        dv_ref[bh] = dv.astype(dv_ref.dtype)
 
 
 def _prep_bhtd(x, B, H, T, D, t_pad):
@@ -187,6 +193,16 @@ def fused_attention(q, k, v, scale=None):
     return o
 
 
+def _bh_block(bh_total: int) -> int:
+    """Rows of the flattened (batch*head) dim per program: larger blocks
+    amortize per-program launch/DMA latency; bounded so operands stay well
+    inside VMEM."""
+    for hb in (4, 2, 1):
+        if bh_total % hb == 0:
+            return hb
+    return 1
+
+
 def _fused_fwd_impl(q, k, v, scale):
     B, T, H, D = q.shape
     s = float(D) ** -0.5 if scale is None else scale
@@ -194,11 +210,12 @@ def _fused_fwd_impl(q, k, v, scale):
     qp = _prep_bhtd(q, B, H, T, D, t_pad)
     kp = _prep_bhtd(k, B, H, T, D, t_pad)
     vp = _prep_bhtd(v, B, H, T, D, t_pad)
-    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    hb = _bh_block(B * H)
+    spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
         functools.partial(_vmem_fwd_kernel, scale=s, t_real=T),
-        grid=(B * H,),
+        grid=(B * H // hb,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, lse_spec),
         out_shape=(
@@ -221,11 +238,12 @@ def _fused_bwd(scale, residuals, g):
     s = float(D) ** -0.5 if scale is None else scale
     t_pad = qp.shape[1]
     gp = _prep_bhtd(g, B, H, T, D, t_pad)
-    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    hb = _bh_block(B * H)
+    spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_vmem_bwd_kernel, scale=s, t_real=T),
-        grid=(B * H,),
+        grid=(B * H // hb,),
         in_specs=[spec, spec, spec, spec, spec, lse_spec],
         out_specs=(spec, spec, spec),
         out_shape=(
