@@ -217,6 +217,22 @@ def jnp_float16():
     return jnp.float16
 
 
+def test_device_prefetcher_chunked_transfer(monkeypatch):
+    """Large batches split into concurrent chunked device_puts must yield
+    bit-identical arrays with the mesh batch sharding."""
+    import jax
+
+    from headct_foundation_tpu.data import pipeline as pl
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(pl.DevicePrefetcher, "CHUNK_BYTES", 1024)
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])  # single-device path
+    host = np.random.RandomState(0).rand(8, 4, 4, 4).astype(np.float16)
+    out = list(pl.DevicePrefetcher([host], mesh))
+    assert len(out) == 1
+    np.testing.assert_array_equal(np.asarray(out[0]), host)
+
+
 def test_finetune_factories(tmp_path):
     paths = _make_scans(tmp_path, 8)
     labels = [0, 1, 0, 1, 0, 0, 1, 0]
