@@ -259,6 +259,19 @@ def _drain(q: "queue.Queue") -> None:
         pass
 
 
+def _put_or_stop(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Blocking put that gives up once ``stop`` is set — an abandoned
+    consumer (its one-shot drain may race further puts) must never leave the
+    producer thread blocked forever on a full queue."""
+    while True:
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            if stop.is_set():
+                return False
+
+
 class ThreadedLoader:
     """Persistent thread-pool prefetching loader yielding collated numpy
     batches.
@@ -371,11 +384,12 @@ class ThreadedLoader:
                     for _ in batch_idx:
                         items.append(futures.popleft().result())
                         _top_up()
-                    out_q.put(_collate(items))
+                    if not _put_or_stop(out_q, _collate(items), stop):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                out_q.put(e)
+                _put_or_stop(out_q, e, stop)
             finally:
-                out_q.put(None)
+                _put_or_stop(out_q, None, stop)
 
         threading.Thread(target=_producer, daemon=True).start()
         return out_q, stop

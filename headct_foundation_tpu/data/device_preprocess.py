@@ -80,14 +80,11 @@ def _pad_op(m: np.ndarray, rows: int, cols: int) -> np.ndarray:
 
 
 def _chunked_put(arr: np.ndarray, chunk_bytes: int = 12 << 20) -> jax.Array:
-    """device_put with multiple in-flight chunks (pipelines the transport —
-    PCIe DMA channels locally, measured multi-x aggregate on a tunneled
-    remote chip)."""
-    n = max(1, -(-arr.nbytes // chunk_bytes))
-    if n == 1:
-        return jax.device_put(arr)
-    parts = [jax.device_put(p) for p in np.array_split(arr, n, axis=0)]
-    return jnp.concatenate(parts, axis=0)
+    """Shared chunked transfer (data/pipeline.py); 12 MB chunks measured
+    best for latency-sensitive single-scan uploads."""
+    from headct_foundation_tpu.data.pipeline import chunked_device_put
+
+    return chunked_device_put(arr, chunk_bytes)
 
 
 @jax.jit

@@ -26,6 +26,18 @@ import numpy as np
 from headct_foundation_tpu.parallel.mesh import batch_sharding, shard_batch
 
 
+def chunked_device_put(arr: np.ndarray, chunk_bytes: int) -> jax.Array:
+    """device_put with multiple concurrent in-flight chunks along axis 0:
+    pipelines the transport (PCIe DMA channels locally; measured multi-x
+    aggregate on a tunneled remote chip). Returns an UNSHARDED device array
+    on the default device."""
+    n = max(1, -(-arr.nbytes // chunk_bytes))
+    if n == 1:
+        return jax.device_put(arr)
+    parts = [jax.device_put(p) for p in np.array_split(arr, n, axis=0)]
+    return jnp.concatenate(parts, axis=0)
+
+
 class DevicePrefetcher:
     """Wrap an iterable of host batches; yield device-resident batches.
 
@@ -90,9 +102,7 @@ class DevicePrefetcher:
         # producer thread and re-raise at the consumer via the queue —
         # do NOT swallow them here.
         if single and vol.nbytes > self.CHUNK_BYTES:
-            n_chunks = -(-vol.nbytes // self.CHUNK_BYTES)
-            parts = [jax.device_put(p) for p in np.array_split(vol, n_chunks)]
-            dev = jnp.concatenate(parts, axis=0)
+            dev = chunked_device_put(vol, self.CHUNK_BYTES)
             if self.dtype is not None:
                 dev = dev.astype(self.dtype)
             dev = jax.device_put(dev, batch_sharding(self.mesh))  # no-op view
@@ -107,17 +117,18 @@ class DevicePrefetcher:
         stop = threading.Event()
 
         def _producer():
+            from headct_foundation_tpu.data.datasets import _put_or_stop
+
             try:
                 for batch in self.loader:
                     if stop.is_set():
                         return
-                    out_q.put(self._place(batch))
-                    if stop.is_set():
+                    if not _put_or_stop(out_q, self._place(batch), stop):
                         return
             except Exception as e:
-                out_q.put(e)
+                _put_or_stop(out_q, e, stop)
             finally:
-                out_q.put(None)
+                _put_or_stop(out_q, None, stop)
 
         threading.Thread(target=_producer, daemon=True).start()
         try:

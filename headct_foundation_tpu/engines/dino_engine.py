@@ -40,6 +40,7 @@ from headct_foundation_tpu.data.augment import dino_multicrop
 from headct_foundation_tpu.losses.dino_loss import (
     dino_loss,
     teacher_temp_schedule,
+    update_center,
 )
 from headct_foundation_tpu.models.dino_head import DINOHead
 from headct_foundation_tpu.models.multicrop import multicrop_forward
@@ -362,11 +363,11 @@ def make_train_step(config, mesh: Mesh):
         )
 
         # Center EMA from the mean teacher output over the whole (possibly
-        # accumulated) batch — identical to update_center(center, outputs)
-        # (losses/dino_loss.py:79-92, reference momentum 0.9).
-        new_center = (
-            state.center * 0.9
-            + t_mean[None].astype(state.center.dtype) * (1.0 - 0.9)
+        # accumulated) batch. update_center takes the mean over axis 0, so
+        # feeding it the already-averaged [1, K] row keeps the canonical
+        # formula (losses/dino_loss.py:79-92, reference momentum 0.9).
+        new_center = update_center(state.center, t_mean[None]).astype(
+            state.center.dtype
         )
 
         new_state = state.replace(
@@ -472,34 +473,32 @@ def train_one_epoch(
     cancel = jnp.asarray(1.0 if epoch < config.DINO.FREEZE_LAST_LAYER else 0.0)
     temp = jnp.asarray(temp_sched[min(epoch, len(temp_sched) - 1)], jnp.float32)
 
-    from headct_foundation_tpu.engines.mae_engine import LOSS_FLUSH
+    from headct_foundation_tpu.engines.mae_engine import (
+        LOSS_FLUSH,
+        drain_pending_losses,
+    )
 
     # Batched loss fetches: every value fetch is a host<->device round trip;
     # fetch LOSS_FLUSH at a time (see mae_engine.train_one_epoch). NaN abort
     # fires within LOSS_FLUSH steps.
     pending = []
 
+    def _log(loss, idx):
+        it = n_batches * epoch + idx
+        lr = float(lr_schedule(it))
+        wd = float(wd_sched[min(it, len(wd_sched) - 1)])
+        metric_logger.update(loss=loss, lr=lr, wd=wd)
+        if logger:
+            logger.info(
+                f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
+            )
+        if wandb_run is not None:
+            wandb_run.log(
+                {"Training Loss": loss, "Training lr": lr, "Training wd": wd}
+            )
+
     def _flush():
-        losses = jax.device_get([l for l, _ in pending])
-        for loss, (_, idx) in zip(losses, pending):
-            loss = float(loss)
-            if not math.isfinite(loss):
-                if logger:
-                    logger.info(f"Loss is {loss}, stopping training")
-                sys.exit(1)
-            it = n_batches * epoch + idx
-            lr = float(lr_schedule(it))
-            wd = float(wd_sched[min(it, len(wd_sched) - 1)])
-            metric_logger.update(loss=loss, lr=lr, wd=wd)
-            if logger:
-                logger.info(
-                    f"Epoch {epoch + 1}/{max_epoch} [{idx + 1}/{n_batches}]  Loss: {loss:.4f}"
-                )
-            if wandb_run is not None:
-                wandb_run.log(
-                    {"Training Loss": loss, "Training lr": lr, "Training wd": wd}
-                )
-        pending.clear()
+        drain_pending_losses(pending, logger, _log)
 
     for idx, batch_data in enumerate(metric_logger.log_every(loader)):
         batch = batch_data[0] if isinstance(batch_data, tuple) else batch_data

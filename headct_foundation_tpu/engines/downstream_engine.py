@@ -289,13 +289,23 @@ def _local_rows(garr, n_local: int) -> np.ndarray:
 
     Multi-host, ``device_get`` of the full global array is invalid (rows on
     other hosts are not addressable); each process reads back exactly the
-    shard it contributed via ``shard_batch``. Single-host this is the whole
-    batch — identical to the old behavior."""
-    shards = sorted(
-        garr.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
-    return rows[:n_local]
+    shard it contributed via ``shard_batch``. Shards are reassembled by
+    their GLOBAL index slices (not naively concatenated): replicated shards
+    (e.g. under a tensor-parallel mesh the output is replicated over the
+    'tensor' axis) land on the same region instead of duplicating rows, and
+    column-sharded outputs reassemble correctly."""
+
+    def _start(s):
+        return s.index[0].start or 0
+
+    shards = list(garr.addressable_shards)
+    r0 = min(_start(s) for s in shards)
+    r1 = max(s.index[0].stop or garr.shape[0] for s in shards)
+    out = np.empty((r1 - r0,) + garr.shape[1:], dtype=garr.dtype)
+    for s in shards:
+        sl = (slice(_start(s) - r0, (s.index[0].stop or garr.shape[0]) - r0),)
+        out[sl + tuple(s.index[1:])] = np.asarray(s.data)
+    return out[:n_local]
 
 
 def _gather_rows(arr: np.ndarray) -> np.ndarray:

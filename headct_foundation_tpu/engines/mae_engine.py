@@ -293,11 +293,13 @@ def train_one_epoch(
     pending = []  # [(loss_device, step_idx)]
 
     def _flush():
-        losses = jax.device_get([l for l, _ in pending])
-        for loss, (_, idx) in zip(losses, pending):
-            _log_step(float(loss), idx, config, metric_logger, lr_schedule,
-                      epoch, max_epoch, n_batches, logger, wandb_run)
-        pending.clear()
+        drain_pending_losses(
+            pending, logger,
+            lambda loss, idx: _log_step(
+                loss, idx, config, metric_logger, lr_schedule, epoch,
+                max_epoch, n_batches, logger, wandb_run,
+            ),
+        )
 
     for idx, batch in enumerate(metric_logger.log_every(loader)):
         if isinstance(batch, tuple):  # loaders yield (volumes, fnames)
@@ -315,12 +317,24 @@ def train_one_epoch(
 LOSS_FLUSH = 8  # steps between batched loss fetches (see train_one_epoch)
 
 
+def drain_pending_losses(pending, logger, log_fn) -> None:
+    """Fetch all pending (loss_device, idx) pairs in ONE device_get, hard-
+    abort on any non-finite loss (reference: engine_pretrain_mae.py:76-78),
+    and feed each value to the engine's per-step logging callback. Shared by
+    the MAE and DINO train loops."""
+    losses = jax.device_get([l for l, _ in pending])
+    for loss, (_, idx) in zip(losses, pending):
+        loss = float(loss)
+        if not math.isfinite(loss):
+            if logger:
+                logger.info(f"Loss is {loss}, stopping training")
+            sys.exit(1)
+        log_fn(loss, idx)
+    pending.clear()
+
+
 def _log_step(loss, idx, config, metric_logger, lr_schedule, epoch, max_epoch,
               n_batches, logger, wandb_run):
-    if not math.isfinite(loss):
-        if logger:
-            logger.info(f"Loss is {loss}, stopping training")
-        sys.exit(1)
     step_global = (n_batches or 0) * epoch + idx
     lr = float(lr_schedule(step_global))
     metric_logger.update(loss=loss, lr=lr)

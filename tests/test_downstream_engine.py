@@ -150,3 +150,25 @@ def test_trainer_and_tester(tmp_path, monkeypatch):
 
     assert os.path.exists(tmp_path / "preds_pkl" / "testrun_preds.pkl")
     assert os.path.exists(tmp_path / "plots" / "roc_pr_curve_plot_testrun.png")
+
+
+def test_local_rows_dedupes_replicated_shards():
+    """Under a tensor-parallel mesh, per-sample outputs are REPLICATED over
+    the 'tensor' axis; _local_rows must reassemble by global index (not
+    concatenate replicas) or metrics silently misalign."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from headct_foundation_tpu.engines.downstream_engine import _local_rows
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, tensor=2)
+    probs = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    garr = jax.device_put(
+        jnp.asarray(probs), NamedSharding(mesh, P(("data", "fsdp")))
+    )
+    # each row appears once per tensor replica in addressable_shards
+    assert len(garr.addressable_shards) == 8
+    out = _local_rows(garr, 7)
+    np.testing.assert_array_equal(out, probs[:7])
