@@ -14,10 +14,13 @@ batched jax running on the TPU inside (or alongside) the jitted step:
   src/data/transforms.py:39-105): each 96^3 volume is conceptually embedded
   centered in a 224^3 zero canvas; global crops sample a random box of side
   U[112, 224] per axis, local crops U[64, 112] inside the center-192 region;
-  every crop is resized to 96^3. Crop + resize are FUSED into one trilinear
-  resample with continuous box coordinates — sizes become traced scalars, so
-  there are no dynamic shapes (XLA-friendly), and the zero canvas is never
-  materialized (out-of-volume samples read as 0).
+  every crop is resized to 96^3. Crop + resize are FUSED into one batched
+  per-axis-matmul resample — sizes become traced scalars, so there are no
+  dynamic shapes (XLA-friendly), and the zero canvas is never materialized
+  (out-of-volume samples read as 0). Default mode='area' samples integer
+  boxes and uses exact MONAI/torch adaptive-average weights (the
+  reference's Resized default — bit-matched per crop); mode='linear' keeps
+  a continuous-box trilinear variant.
 
 All randomness is explicit (PRNG keys), per-sample decorrelated.
 Volumes are [B, C, H, W, D] float arrays in [0, 1].
@@ -135,6 +138,7 @@ def crop_and_resize(
     start: jnp.ndarray,
     size: jnp.ndarray,
     out_shape: Sequence[int],
+    mode: str = "linear",
 ) -> jnp.ndarray:
     """Trilinearly resample a per-sample box to a fixed output shape.
 
@@ -155,16 +159,21 @@ def crop_and_resize(
     which is also exactly zero outside the volume (the zero-padding canvas).
     Three einsums ride the MXU; no gathers anywhere.
 
-    DELIBERATE DEVIATION from the reference: MONAI ``Resized`` defaults to
-    'area' interpolation in the reference's DINO crop chain
-    (reference: src/data/transforms.py:75-99), while this kernel is
-    trilinear. The crops are randomly sampled training augmentations, so the
-    difference is distributional, not bitwise: for downsampling boxes the
-    hat kernel is a slightly narrower low-pass than area averaging. The
-    deterministic eval/feature paths use exact 'area'
-    (data/transforms.py:area_resize, data/device_preprocess.py), which is
-    where bitwise parity matters.
+    ``mode``:
+      * ``"area"`` — EXACT MONAI/torch semantics for integer boxes:
+        ``Resized`` defaults to 'area' (adaptive average pooling) in the
+        reference's DINO crop chain (reference: src/data/transforms.py:75-99).
+        Output cell o of a length-L crop averages input cells
+        [floor(o*L/O), ceil((o+1)*L/O)) uniformly — reproduced here as
+        per-sample indicator/count weight matrices. With integer (start,
+        size) this is bitwise the reference pipeline (modulo fp summation
+        order); out-of-volume cells carry weight but read 0, identical to
+        the zero-padded canvas.
+      * ``"linear"`` — trilinear hat kernel (continuous boxes supported);
+        a slightly narrower low-pass than area averaging for downsampling
+        boxes.
     """
+    assert mode in ("linear", "area"), mode
     out_shape = tuple(out_shape)
     in_shape = x.shape[2:]
 
@@ -172,6 +181,18 @@ def crop_and_resize(
         o = out_shape[ax]
         i_idx = jnp.arange(in_shape[ax], dtype=jnp.float32)
         o_idx = jnp.arange(o, dtype=jnp.float32)
+        if mode == "area":
+            L = size[:, ax, None]                        # [B, 1]
+            s_idx = jnp.floor(o_idx[None, :] * L / o)    # [B, out]
+            e_idx = jnp.ceil((o_idx[None, :] + 1.0) * L / o)
+            abs_s = start[:, ax, None] + s_idx
+            abs_e = start[:, ax, None] + e_idx
+            inside = (
+                (i_idx[None, None, :] >= abs_s[:, :, None])
+                & (i_idx[None, None, :] < abs_e[:, :, None])
+            )
+            count = jnp.maximum(e_idx - s_idx, 1.0)[:, :, None]
+            return (inside / count).astype(x.dtype)
         # [B, out] fractional source coordinates
         c = start[:, ax, None] + (o_idx[None, :] + 0.5) * (
             size[:, ax, None] / o
@@ -195,10 +216,23 @@ def _rand_box(
     max_size: float,
     canvas_lo: float,
     canvas_hi: float,
+    integer: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample per-sample, per-axis box (start, size) with size ~ U[min, max]
-    and position uniform over valid placements in [canvas_lo, canvas_hi)."""
+    and position uniform over valid placements in [canvas_lo, canvas_hi).
+
+    ``integer=True`` matches MONAI RandSpatialCrop exactly: size uniform over
+    the INTEGERS [min, max] (inclusive) and start uniform over the integer
+    placements."""
     k_size, k_pos = jax.random.split(rng)
+    if integer:
+        size = jax.random.randint(
+            k_size, (batch, 3), int(min_size), int(max_size) + 1
+        ).astype(jnp.float32)
+        u = jax.random.uniform(k_pos, (batch, 3))
+        n_pos = (canvas_hi - canvas_lo) - size + 1.0  # valid integer starts
+        start = canvas_lo + jnp.floor(u * n_pos)
+        return start, size
     size = jax.random.uniform(k_size, (batch, 3), minval=min_size, maxval=max_size)
     u = jax.random.uniform(k_pos, (batch, 3))
     start = canvas_lo + u * ((canvas_hi - canvas_lo) - size)
@@ -243,6 +277,7 @@ def dino_multicrop(
     global_crop_size: int = 112,
     local_crop_size: int = 64,
     local_crops_number: int = 2,
+    mode: str = "area",
 ) -> List[jnp.ndarray]:
     """2 global + N local crops per volume, each resized to ``final_size``.
 
@@ -251,18 +286,26 @@ def dino_multicrop(
     shifted into volume space (offset (CANVAS - R) / 2), with out-of-volume
     reads returning 0 — numerically identical to materializing the padded
     canvas (reference: transforms.py:71-99) at a fraction of the bandwidth.
+
+    The default ``mode="area"`` samples INTEGER boxes (MONAI RandSpatialCrop
+    semantics) and resizes with exact adaptive-average 'area' weights — the
+    reference pipeline's interpolation, bit-matched per crop.
+    ``mode="linear"`` keeps the continuous-box trilinear variant.
     """
     B = x.shape[0]
     R = x.shape[-1]
-    offset = (CANVAS - R) / 2.0
+    integer = mode == "area"
+    offset = (CANVAS - R) // 2 if integer else (CANVAS - R) / 2.0
     crops: List[jnp.ndarray] = []
     keys = jax.random.split(rng, 2 + local_crops_number)
 
     # global crops: size U[global_crop_size, CANVAS], anywhere on the canvas
     for gi in range(2):
         k_box, k_aug, k_extra = jax.random.split(keys[gi], 3)
-        start, size = _rand_box(k_box, B, global_crop_size, CANVAS, 0.0, CANVAS)
-        crop = crop_and_resize(x, start - offset, size, final_size)
+        start, size = _rand_box(
+            k_box, B, global_crop_size, CANVAS, 0.0, CANVAS, integer=integer
+        )
+        crop = crop_and_resize(x, start - offset, size, final_size, mode=mode)
         crop = _dino_flip_and_noise(k_aug, crop)
         if gi == 0:
             crop = rand_gaussian_smooth(k_extra, crop, (0.5, 1.0), 0.2)
@@ -271,12 +314,15 @@ def dino_multicrop(
         crops.append(crop)
 
     # local crops: inside the center LOCAL_CANVAS region, size U[local, global]
-    lo = (CANVAS - LOCAL_CANVAS) / 2.0
+    lo = (CANVAS - LOCAL_CANVAS) // 2 if integer else (CANVAS - LOCAL_CANVAS) / 2.0
     for li in range(local_crops_number):
         k_box, _ = jax.random.split(keys[2 + li])
         start, size = _rand_box(
-            k_box, B, local_crop_size, global_crop_size, lo, lo + LOCAL_CANVAS
+            k_box, B, local_crop_size, global_crop_size, lo, lo + LOCAL_CANVAS,
+            integer=integer,
         )
-        crops.append(crop_and_resize(x, start - offset, size, final_size))
+        crops.append(
+            crop_and_resize(x, start - offset, size, final_size, mode=mode)
+        )
 
     return crops

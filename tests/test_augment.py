@@ -119,3 +119,44 @@ def test_dino_multicrop_shapes_and_content():
         rng, v, final_size=(24, 24, 24), local_crops_number=2))
     crops2 = f(KEY, x)
     assert len(crops2) == 4
+
+
+def test_crop_and_resize_area_matches_host_adaptive_pool():
+    """mode='area' with integer boxes must reproduce the host area_resize
+    (torch adaptive-average-pool semantics) of the explicit crop exactly —
+    the reference DINO chain's Resized default."""
+    from headct_foundation_tpu.data.transforms import area_resize
+
+    rng = np.random.RandomState(0)
+    x_np = rng.rand(2, 3, 20, 20, 20).astype(np.float32)
+    # integer boxes fully inside the volume
+    starts = np.array([[2, 0, 5], [1, 3, 0]], dtype=np.float32)
+    sizes = np.array([[13, 17, 11], [18, 10, 19]], dtype=np.float32)
+    out = np.asarray(
+        crop_and_resize(
+            jnp.asarray(x_np), jnp.asarray(starts), jnp.asarray(sizes),
+            (6, 6, 6), mode="area",
+        )
+    )
+    for b in range(2):
+        s = starts[b].astype(int)
+        L = sizes[b].astype(int)
+        crop = x_np[b, :, s[0]:s[0]+L[0], s[1]:s[1]+L[1], s[2]:s[2]+L[2]]
+        expected = area_resize(crop, (6, 6, 6))
+        np.testing.assert_allclose(out[b], expected, atol=1e-5, rtol=1e-5)
+
+
+def test_crop_and_resize_area_zero_padding():
+    """Out-of-volume cells contribute zeros (the padded-canvas semantics)."""
+    x = jnp.ones((1, 1, 8, 8, 8))
+    # box half outside: start -4, size 8 -> half the cells read zeros
+    out = np.asarray(
+        crop_and_resize(
+            x, jnp.full((1, 3), -4.0), jnp.full((1, 3), 8.0), (2, 2, 2),
+            mode="area",
+        )
+    )
+    # first output cell averages cells [-4, 0) -> all zero
+    assert out[0, 0, 0, 0, 0] == 0.0
+    # last output cell averages cells [0, 4) -> all ones
+    np.testing.assert_allclose(out[0, 0, 1, 1, 1], 1.0)
