@@ -134,22 +134,37 @@ def load_nifti(path: str, dtype: Optional[np.dtype] = np.float32) -> NiftiImage:
     return NiftiImage(data, affine, header)
 
 
-def save_nifti(path: str, data: np.ndarray, affine: Optional[np.ndarray] = None) -> None:
-    """Write a minimal NIfTI-1 file (float32, sform affine). For tests/tools."""
+def save_nifti(
+    path: str,
+    data: np.ndarray,
+    affine: Optional[np.ndarray] = None,
+    dtype: np.dtype = np.float32,
+    scl_slope: float = 1.0,
+    scl_inter: float = 0.0,
+) -> None:
+    """Write a minimal NIfTI-1 file (sform affine). For tests/tools.
+
+    ``dtype`` may be float32 or int16 (the common stored type of real CT,
+    usually with scl_slope/scl_inter rescaling to HU)."""
     if affine is None:
         affine = np.eye(4)
-    data = np.asarray(data, dtype=np.float32)
+    dtype = np.dtype(dtype)
+    codes = {np.dtype(np.float32): (16, 32), np.dtype(np.int16): (4, 16)}
+    assert dtype in codes, f"unsupported save dtype {dtype}"
+    datatype, bitpix = codes[dtype]
+    data = np.asarray(data, dtype=dtype)
     ndim = data.ndim
     dim = [ndim] + list(data.shape) + [1] * (7 - ndim)
     header = bytearray(352)  # 348 header + 4 pad to vox_offset 352
     struct.pack_into("<i", header, 0, 348)
     struct.pack_into("<8h", header, 40, *dim)
-    struct.pack_into("<h", header, 70, 16)  # float32
-    struct.pack_into("<h", header, 72, 32)  # bitpix
+    struct.pack_into("<h", header, 70, datatype)
+    struct.pack_into("<h", header, 72, bitpix)
     spacing = np.linalg.norm(affine[:3, :3], axis=0)
     struct.pack_into("<8f", header, 76, 1.0, *spacing, *([1.0] * (7 - 3)))
     struct.pack_into("<f", header, 108, 352.0)  # vox_offset
-    struct.pack_into("<f", header, 112, 1.0)  # scl_slope
+    struct.pack_into("<f", header, 112, scl_slope)
+    struct.pack_into("<f", header, 116, scl_inter)
     struct.pack_into("<h", header, 254, 1)  # sform_code
     struct.pack_into("<4f", header, 280, *affine[0])
     struct.pack_into("<4f", header, 296, *affine[1])

@@ -87,3 +87,39 @@ def test_diskcache_uses_native(tmp_path, monkeypatch):
     cache2 = DiskCache(str(tmp_path / "c2"), (24, 24, 24), 3)
     v2 = cache2.load(p)
     assert np.abs(v1.astype(np.float32) - v2.astype(np.float32)).mean() < 1e-4
+
+
+def test_int16_scaled_nifti_decoders_agree(tmp_path):
+    """Real CT is stored int16 with scl_slope/inter rescaling to HU; the
+    python reader and the native decode-only API must agree exactly."""
+    import numpy as np
+    import pytest
+
+    from headct_foundation_tpu.data.native_loader import (
+        decode_native,
+        native_available,
+    )
+    from headct_foundation_tpu.data.nifti import (
+        load_nifti,
+        orientation_ras,
+        save_nifti,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 3000, size=(20, 18, 16)).astype(np.int16)
+    p = str(tmp_path / "ct.nii.gz")
+    save_nifti(p, raw, np.diag([1.0, 1.0, 2.0, 1.0]), dtype=np.int16,
+               scl_slope=1.0, scl_inter=-1024.0)
+
+    img = load_nifti(p)
+    py_data, py_aff = orientation_ras(
+        np.asarray(img.data, np.float32), img.affine
+    )
+    np.testing.assert_allclose(py_data.min(), raw.min() - 1024.0)
+
+    nat_data, nat_aff = decode_native(p)
+    np.testing.assert_array_equal(nat_data, py_data)
+    np.testing.assert_allclose(nat_aff, py_aff[:3, :4], atol=1e-5)
