@@ -145,14 +145,29 @@ def save_nifti(
     """Write a minimal NIfTI-1 file (sform affine). For tests/tools.
 
     ``dtype`` may be float32 or int16 (the common stored type of real CT,
-    usually with scl_slope/scl_inter rescaling to HU)."""
+    usually with scl_slope/scl_inter rescaling to HU). With int16, ``data``
+    must be the STORED values (pre-rescale): readers return
+    ``stored * scl_slope + scl_inter``, so HU floats must be inverse-scaled
+    by the caller first — values that don't round-trip raise instead of
+    silently truncating/wrapping."""
     if affine is None:
         affine = np.eye(4)
     dtype = np.dtype(dtype)
     codes = {np.dtype(np.float32): (16, 32), np.dtype(np.int16): (4, 16)}
     assert dtype in codes, f"unsupported save dtype {dtype}"
     datatype, bitpix = codes[dtype]
-    data = np.asarray(data, dtype=dtype)
+    data = np.asarray(data)
+    if dtype == np.int16:
+        stored = data.astype(np.int16)
+        if not np.array_equal(stored.astype(data.dtype), data):
+            raise ValueError(
+                "save_nifti(dtype=int16) expects STORED integer values "
+                "representable in int16 (readers apply scl_slope/scl_inter); "
+                "inverse-rescale first: stored = (hu - scl_inter) / scl_slope"
+            )
+        data = stored
+    else:
+        data = data.astype(dtype)
     ndim = data.ndim
     dim = [ndim] + list(data.shape) + [1] * (7 - ndim)
     header = bytearray(352)  # 348 header + 4 pad to vox_offset 352
