@@ -2,21 +2,36 @@
 
 Runs the flagship config (ViT-B 3D, 96^3, patch 12, 3-channel, mask 0.75 —
 configs/mae/mae_HeadCT.yaml) full training step on the available chip(s) and
-prints ONE JSON line:
+prints ONE JSON line whose headline is the compute-only step rate and whose
+``loader_in_loop`` object is the sustained cache-hit number with its
+bottleneck decomposition (input_wait fraction, host-loader rate vs worker
+count on the packed cache, measured H2D bandwidth):
 
-  {"metric": ..., "value": N, "unit": "volumes/s/chip", "vs_baseline": N/B}
+  {"metric": ..., "value": N, "unit": "volumes/s/chip", "vs_baseline": N/B,
+   "loader_in_loop": {"value": ..., "input_wait_frac": ..., ...}}
 
 Baseline B = 3.1 volumes/s/GPU — the reference's measured pretrain step
 throughput on A100s (BASELINE.md: DINO run wandb summary; the reference
 publishes no MAE step time, this is its only measured pretrain throughput).
 
-Measurement method: K sequential train steps are chained inside ONE jitted
-``lax.scan`` and the per-step losses are fetched by value. A single dispatch +
-single value fetch amortizes the remote-relay round trip across K steps, and
-fetching actual loss values defeats the relay's unreliable async-completion
-signals (block_until_ready can return before the chain finishes). The scan
-carries a true sequential dependency (state_k feeds step k+1), so XLA cannot
-skip or overlap steps.
+Compute-only measurement method: K sequential train steps are chained inside
+ONE jitted ``lax.scan`` and the per-step losses are fetched by value. A
+single dispatch + single value fetch amortizes the remote-relay round trip
+across K steps, and fetching actual loss values defeats the relay's
+unreliable async-completion signals (block_until_ready can return before the
+chain finishes). The scan carries a true sequential dependency (state_k
+feeds step k+1), so XLA cannot skip or overlap steps.
+
+The loader-in-the-loop mode replays the production input path at cache-hit
+steady state — the same state the reference trains in after MONAI
+PersistentDataset materializes (reference: src/data/datasets.py:42-46,
+115-120): packed memmapped DiskCache -> ThreadedLoader pool ->
+DevicePrefetcher (H2D under compute) -> the jitted train step WITH on-device
+augmentation.
+
+Flags: --compute-only | --with-loader (each alone), --feature-latency,
+--feature-throughput; default runs compute + loader and prints the combined
+line.
 """
 
 from __future__ import annotations
@@ -41,10 +56,8 @@ SCAN_STEPS = 10
 MEASURE_RUNS = 3
 
 
-def main() -> None:
+def _flagship_config():
     from headct_foundation_tpu.config import default_config
-    from headct_foundation_tpu.engines import mae_engine
-    from headct_foundation_tpu.parallel.mesh import batch_sharding, make_mesh
 
     cfg = default_config()
     cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -55,7 +68,14 @@ def main() -> None:
         cfg.MAE.PATCH_SIZE = 12
         cfg.MAE.USE_BIAS = True
     cfg.TRAIN.GRAD_CLIP = 0.0  # matches mae_HeadCT.yaml recipe
+    return cfg
 
+
+def compute_only() -> dict:
+    from headct_foundation_tpu.engines import mae_engine
+    from headct_foundation_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg = _flagship_config()
     n_chips = len(jax.devices())
     mesh = make_mesh(data=n_chips)
     rng = jax.random.PRNGKey(42)
@@ -104,86 +124,79 @@ def main() -> None:
     assert np.isfinite(final_loss), final_loss
 
     vols_per_sec_per_chip = BATCH_PER_CHIP * SCAN_STEPS / best_dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "volumes/sec/chip (MAE 3D pretrain step)",
-                "value": round(vols_per_sec_per_chip, 2),
-                "unit": "volumes/s/chip",
-                "vs_baseline": round(
-                    vols_per_sec_per_chip / REFERENCE_VOLS_PER_SEC_PER_CHIP, 2
-                ),
-            }
-        )
-    )
+    return {
+        "metric": "volumes/sec/chip (MAE 3D pretrain step)",
+        "value": round(vols_per_sec_per_chip, 2),
+        "unit": "volumes/s/chip",
+        "vs_baseline": round(
+            vols_per_sec_per_chip / REFERENCE_VOLS_PER_SEC_PER_CHIP, 2
+        ),
+    }
 
 
-def with_loader() -> None:
-    """Sustained loader-in-the-loop MAE throughput.
-
-    The full production input path is in the loop: DiskCache .npy hits (the
-    post-first-epoch steady state the reference also measures in, via MONAI
-    PersistentDataset) -> ThreadedLoader worker pool -> DevicePrefetcher
-    (H2D overlap) -> the jitted train step WITH on-device augmentation
-    (exactly main_pretrain_mae.py's step). Reports sustained volumes/s/chip
-    and the fraction of step time spent waiting on the input pipeline.
-    """
+def with_loader(epochs: int = 4, warm_epochs: int = 1,
+                steps_per_epoch: int = 8) -> dict:
+    """Sustained loader-in-the-loop MAE throughput on the PACKED cache."""
     import shutil
     import tempfile
 
     import pandas as pd
 
-    from headct_foundation_tpu.config import default_config
     from headct_foundation_tpu.data.datasets import (
-        DiskCache, PretrainDataset, ThreadedLoader, distributed_indices,
+        DiskCache, PackedCacheWriter, PretrainDataset, ThreadedLoader,
+        distributed_indices,
     )
     from headct_foundation_tpu.data.pipeline import DevicePrefetcher
     from headct_foundation_tpu.engines import mae_engine
     from headct_foundation_tpu.parallel.mesh import make_mesh
 
-    cfg = default_config()
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "configs/mae/mae_HeadCT.yaml")
-    if os.path.exists(cfg_path):
-        cfg.merge_from_file(cfg_path)
-    cfg.TRAIN.GRAD_CLIP = 0.0
-
+    cfg = _flagship_config()
     n_chips = len(jax.devices())
     batch = BATCH_PER_CHIP * n_chips
-    n_files = 16 * batch  # 16 steps/epoch of distinct volumes
+    n_files = steps_per_epoch * batch  # distinct volumes per epoch
     tmpd = tempfile.mkdtemp(prefix="headct_bench_cache_")
     try:
         roi = (96, 96, 96)
         cache = DiskCache(tmpd, roi, cfg.MAE.IN_CHANS)
         rng_np = np.random.RandomState(0)
         paths = [f"/synthetic/vol{i:05d}.nii.gz" for i in range(n_files)]
-        for p in paths:  # pre-populate cache: steady-state = 100% cache hits
-            vol = rng_np.rand(cfg.MAE.IN_CHANS, *roi).astype(np.float16)
-            np.save(os.path.join(tmpd, cache._key(p) + ".npy"), vol)
+        # pre-populate the PACKED cache: steady state = 100% packed hits
+        with PackedCacheWriter(tmpd, (cfg.MAE.IN_CHANS, *roi)) as w:
+            for p in paths:
+                w.add(
+                    cache._key(p),
+                    rng_np.rand(cfg.MAE.IN_CHANS, *roi).astype(np.float16),
+                )
         csv_path = os.path.join(tmpd, "manifest.csv")
         pd.DataFrame({"img_path": paths}).to_csv(csv_path, index=False)
 
-        dataset = PretrainDataset(cfg, csv_path, cache_dir=tmpd)
-        loader = ThreadedLoader(
-            dataset,
-            batch_size=batch,
-            indices_fn=lambda epoch, n=n_files: distributed_indices(
-                n, 0, 1, shuffle=False
-            ),
-            num_workers=8,
-        )
+        def _loader(workers):
+            return ThreadedLoader(
+                PretrainDataset(cfg, csv_path, cache_dir=tmpd),
+                batch_size=batch,
+                indices_fn=lambda epoch, n=n_files: distributed_indices(
+                    n, 0, 1, shuffle=False
+                ),
+                num_workers=workers,
+            )
 
-        # host-only loader throughput (disk cache -> threads -> collation,
-        # no device): separates the input pipeline itself from the H2D
-        # transport in the report
-        loader.set_epoch(0)
-        for _ in loader:  # warm the page cache
-            pass
-        th0 = time.perf_counter()
-        host_batches = sum(1 for _ in loader)
-        host_loader_vps = host_batches * batch / (time.perf_counter() - th0)
+        # host-only loader throughput (packed cache -> threads -> collation,
+        # no device) vs worker count: separates the input pipeline itself
+        # from the H2D transport in the report
+        host_rates = {}
+        for workers in (4, 8, 16):
+            loader = _loader(workers)
+            loader.set_epoch(0)
+            for _ in loader:  # warm the page cache / pool
+                pass
+            th0 = time.perf_counter()
+            host_batches = sum(1 for _ in loader)
+            host_rates[workers] = round(
+                host_batches * batch / (time.perf_counter() - th0), 1
+            )
+            loader.close()
 
+        loader = _loader(8)
         mesh = make_mesh(data=n_chips)
         rng = jax.random.PRNGKey(42)
         state, _, _ = mae_engine.create_train_state(
@@ -191,7 +204,6 @@ def with_loader() -> None:
         )
         train_step = mae_engine.make_train_step(mesh, augment=True)
 
-        epochs, warm_epochs = 7, 2
         flush = 8  # batched loss fetches, like the engine loop
         t0 = None
         timed_vols = 0
@@ -242,43 +254,24 @@ def with_loader() -> None:
         h2d_mbps = probe.nbytes / 1e6 / h2d_best
 
         vols_per_sec_per_chip = timed_vols / dt / n_chips
-        print(
-            json.dumps(
-                {
-                    "metric": "volumes/sec/chip (MAE pretrain, loader-in-the-loop)",
-                    "value": round(vols_per_sec_per_chip, 2),
-                    "unit": "volumes/s/chip",
-                    "vs_baseline": round(
-                        vols_per_sec_per_chip / REFERENCE_VOLS_PER_SEC_PER_CHIP, 2
-                    ),
-                    "input_wait_frac": round(input_wait_s / dt, 3),
-                    "host_loader_vols_per_s": round(host_loader_vps, 1),
-                    "h2d_MB_per_s": round(h2d_mbps, 1),
-                    "h2d_bound_vols_per_s": round(batch / h2d_best / n_chips, 2),
-                }
-            )
-        )
+        return {
+            "value": round(vols_per_sec_per_chip, 2),
+            "unit": "volumes/s/chip",
+            "vs_baseline": round(
+                vols_per_sec_per_chip / REFERENCE_VOLS_PER_SEC_PER_CHIP, 2
+            ),
+            "input_wait_frac": round(input_wait_s / dt, 3),
+            "host_loader_vols_per_s_by_workers": host_rates,
+            "packed_cache": True,
+            "h2d_MB_per_s": round(h2d_mbps, 1),
+            "h2d_bound_vols_per_s": round(batch / h2d_best / n_chips, 2),
+        }
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
 
-def feature_latency() -> None:
-    """p50 per-scan feature-extract latency (BASELINE.json's second metric):
-    synthetic NIfTI -> notebook-order preprocessing -> ViT-B CLS embedding."""
-    import tempfile
-
-    from headct_foundation_tpu.data.nifti import save_nifti
+def _make_extractor():
     from headct_foundation_tpu.feature_extraction import FeatureExtractor
-
-    tmp = tempfile.mkdtemp()
-    rng = np.random.RandomState(0)
-    paths = []
-    for i in range(12):
-        # integral HU like real CT (exercises the lossless int16 transfer)
-        vol = np.round(rng.rand(220, 220, 140) * 3000 - 1000).astype(np.float32)
-        p = os.path.join(tmp, f"s{i}.nii.gz")
-        save_nifti(p, vol, np.diag([0.5, 0.5, 1.25, 1.0]))  # realistic CT grid
-        paths.append(p)
 
     extractor = FeatureExtractor(
         img_size=96, patch_size=12, in_chans=3, hidden_size=768, mlp_dim=3072,
@@ -287,6 +280,31 @@ def feature_latency() -> None:
     )
     # warm the compiled forward
     extractor.cls_embedding(np.zeros((1, 3, 96, 96, 96), np.float32))
+    return extractor
+
+
+def _synth_scans(tmp, n):
+    from headct_foundation_tpu.data.nifti import save_nifti
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        # integral HU like real CT (exercises the lossless int16 transfer)
+        vol = np.round(rng.rand(220, 220, 140) * 3000 - 1000).astype(np.float32)
+        p = os.path.join(tmp, f"s{i}.nii.gz")
+        save_nifti(p, vol, np.diag([0.5, 0.5, 1.25, 1.0]))  # realistic CT grid
+        paths.append(p)
+    return paths
+
+
+def feature_latency() -> None:
+    """p50 per-scan feature-extract latency (BASELINE.json's second metric):
+    synthetic NIfTI -> notebook-order preprocessing -> ViT-B CLS embedding."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    paths = _synth_scans(tmp, 12)
+    extractor = _make_extractor()
 
     lat = []
     for p in paths:
@@ -308,10 +326,47 @@ def feature_latency() -> None:
     )
 
 
+def feature_throughput() -> None:
+    """Batched feature-extraction rate (scans/s): decode/preprocess of scan
+    i+1 overlapped with scan i's device forward via the pipelined
+    extract_from_files."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    n = 16
+    paths = _synth_scans(tmp, n)
+    extractor = _make_extractor()
+
+    extractor.extract_from_files(paths[:2], batch_size=1)  # warm all paths
+    t0 = time.perf_counter()
+    feats = extractor.extract_from_files(paths, batch_size=4)
+    dt = time.perf_counter() - t0
+    assert feats.shape[0] == n
+    print(
+        json.dumps(
+            {
+                "metric": "feature-extraction throughput (batched)",
+                "value": round(n / dt, 2),
+                "unit": "scans/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--feature-latency" in sys.argv:
         feature_latency()
+    elif "--feature-throughput" in sys.argv:
+        feature_throughput()
     elif "--with-loader" in sys.argv:
-        with_loader()
+        print(json.dumps({
+            "metric": "volumes/sec/chip (MAE pretrain, loader-in-the-loop)",
+            **with_loader(),
+        }))
+    elif "--compute-only" in sys.argv:
+        print(json.dumps(compute_only()))
     else:
-        main()
+        result = compute_only()
+        result["loader_in_loop"] = with_loader()
+        print(json.dumps(result))

@@ -224,6 +224,9 @@ def _default_config() -> CfgNode:
     _C.MAE.NORM_LAYER = "layernorm"
     _C.MAE.SPATIAL_DIMS = 3
     _C.MAE.NORM_PIX_LOSS = False
+    # Loss-path dtype: 'bfloat16' halves the bandwidth of the patchified
+    # target/diff tensors (reductions still accumulate in f32).
+    _C.MAE.LOSS_DTYPE = "float32"
     _C.MAE.RETURN_IMAGE = False
     _C.MAE.ENCODER_EMBED_DIM = 768
     _C.MAE.ENCODER_DEPTH = 12
@@ -297,6 +300,10 @@ def _default_config() -> CfgNode:
     # (which has none) — matches the reference's 256-512 global batches on
     # fewer chips at micro-batch activation memory.
     _C.TRAIN.ACCUM_STEPS = 1
+    # Epoch-boundary checkpoints: snapshot on device, fetch + pickle + write
+    # in a background thread (the reference's torch.save is synchronous on
+    # the trainer, src/utils/misc.py:35-52).
+    _C.TRAIN.ASYNC_CKPT = True
     _C.TRAIN.SCHEDULER = "cosine"
     _C.TRAIN.PER_WARMUP = 0.05
     _C.TRAIN.GRAD_CLIP = 1.0
@@ -313,6 +320,10 @@ def _default_config() -> CfgNode:
     _C.PARALLEL.FSDP = 1         # ZeRO-style parameter sharding axis
     _C.PARALLEL.TENSOR = 1       # tensor-parallel axis (heads / mlp)
     _C.PARALLEL.REMAT = False    # rematerialize transformer blocks
+    # Pallas/XLA attention crossover: sequences shorter than this use XLA's
+    # fused attention (the per-(b,h)-program Pallas kernels are launch-bound
+    # at tiny T; measured crossover between 129 and 513 tokens).
+    _C.PARALLEL.PALLAS_MIN_T = 192
 
     # Logging settings (reference: config.py:142-144)
     _C.LOG = CfgNode()

@@ -67,10 +67,164 @@ def _process_info() -> Tuple[int, int]:
         return 0, 1
 
 
+class PackedShardReader:
+    """Memmapped reader for the packed cache format: volumes live
+    contiguously in large shard files (``pack_*.bin``, each a flat
+    [count, C, *roi] fp16 array) indexed by ``pack_index*.json``. One
+    open+mmap per SHARD for the whole run replaces an open/stat/.npy-header
+    parse per VOLUME — at production rates (hundreds of volumes/s/chip) the
+    per-volume small-file path costs an fs metadata op + header decode each,
+    while shard pages are served straight from the OS page cache.
+
+    Multiple index files merge (rank-tagged parallel builds); later files
+    win on key collisions.
+    """
+
+    def __init__(self, cache_dir: str, index_paths: Sequence[str]):
+        import json
+
+        self.cache_dir = cache_dir
+        self.entries: Dict[str, Tuple[str, int]] = {}
+        self.shape: Optional[Tuple[int, ...]] = None
+        self.dtype = np.float16
+        self._shard_counts: Dict[str, int] = {}
+        self._shards: Dict[str, np.memmap] = {}
+        self._lock = threading.Lock()
+        for ip in index_paths:
+            with open(ip) as f:
+                idx = json.load(f)
+            meta = idx["meta"]
+            shape = tuple(meta["shape"])
+            if self.shape is None:
+                self.shape = shape
+                self.dtype = np.dtype(meta.get("dtype", "float16"))
+            elif shape != self.shape:
+                raise ValueError(
+                    f"packed cache shape mismatch: {shape} vs {self.shape} ({ip})"
+                )
+            self._shard_counts.update(meta["shard_counts"])
+            for key, ent in idx["entries"].items():
+                self.entries[key] = (ent[0], int(ent[1]))
+
+    @classmethod
+    def open(cls, cache_dir: str) -> Optional["PackedShardReader"]:
+        import glob
+
+        index_paths = sorted(
+            glob.glob(os.path.join(cache_dir, "pack_index*.json"))
+        )
+        if not index_paths:
+            return None
+        return cls(cache_dir, index_paths)
+
+    def _shard(self, name: str) -> np.memmap:
+        mm = self._shards.get(name)
+        if mm is None:
+            with self._lock:
+                mm = self._shards.get(name)
+                if mm is None:
+                    count = self._shard_counts[name]
+                    mm = np.memmap(
+                        os.path.join(self.cache_dir, name), dtype=self.dtype,
+                        mode="r", shape=(count,) + tuple(self.shape),
+                    )
+                    self._shards[name] = mm
+        return mm
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        ent = self.entries.get(key)
+        if ent is None:
+            return None
+        name, slot = ent
+        return self._shard(name)[slot]  # memmap view; collate's stack copies
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+
+class PackedCacheWriter:
+    """Append-only packed-cache shard writer (see PackedShardReader).
+
+    Volumes stream to ``pack_<tag><i>.bin`` in fixed-size shards; ``close``
+    writes ``pack_index<tag>.json`` atomically. Rank-parallel builds pass a
+    distinct ``tag`` per process and readers merge the indices.
+    """
+
+    def __init__(
+        self,
+        cache_dir: str,
+        shape: Sequence[int],
+        volumes_per_shard: int = 512,
+        tag: str = "",
+        dtype=np.float16,
+    ):
+        os.makedirs(cache_dir, exist_ok=True)
+        self.cache_dir = cache_dir
+        self.shape = tuple(shape)
+        self.volumes_per_shard = volumes_per_shard
+        self.tag = tag
+        self.dtype = np.dtype(dtype)
+        self.entries: Dict[str, Tuple[str, int]] = {}
+        self.shard_counts: Dict[str, int] = {}
+        self._shard_idx = -1
+        self._slot = volumes_per_shard  # force a new shard on first add
+        self._fh = None
+        self._cur_name = ""
+
+    def _roll(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+        self._shard_idx += 1
+        self._cur_name = f"pack_{self.tag}{self._shard_idx:05d}.bin"
+        self._fh = open(os.path.join(self.cache_dir, self._cur_name), "wb")
+        self._slot = 0
+
+    def add(self, key: str, vol: np.ndarray) -> None:
+        vol = np.ascontiguousarray(vol, dtype=self.dtype)
+        assert vol.shape == self.shape, (vol.shape, self.shape)
+        if self._slot >= self.volumes_per_shard:
+            self._roll()
+        self._fh.write(vol.tobytes())
+        self.entries[key] = (self._cur_name, self._slot)
+        self.shard_counts[self._cur_name] = self._slot + 1
+        self._slot += 1
+
+    def close(self) -> None:
+        import json
+
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        index = {
+            "meta": {
+                "shape": list(self.shape),
+                "dtype": self.dtype.name,
+                "shard_counts": self.shard_counts,
+            },
+            "entries": {k: [v[0], v[1]] for k, v in self.entries.items()},
+        }
+        path = os.path.join(self.cache_dir, f"pack_index{self.tag}.json")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(index, f)
+        os.replace(tmp, path)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class DiskCache:
     """Deterministic .npy cache of preprocessed volumes (PersistentDataset
     equivalent). Key = hash(img_path, roi, channels, pipeline version,
     preprocessing backend).
+
+    When the cache dir holds a packed index (tools/build_cache.py --packed),
+    hits are served from memmapped shard files (PackedShardReader) — the
+    steady-state host path does zero per-volume file opens. Per-volume .npy
+    files remain the write-through format for on-the-fly caching.
 
     NOTE: the backend became part of the key together with the v1 pipeline
     version — caches built by earlier revisions (unqualified keys) are
@@ -87,6 +241,7 @@ class DiskCache:
                 cache_dir = None  # unwritable cache dir -> run uncached
         self.cache_dir = cache_dir
         self._device_prep = None
+        self._packed: Any = False  # False = not probed; None = no packed index
 
     def _backend(self) -> str:
         """Which preprocessing backend _preprocess will take: 'device'
@@ -138,7 +293,14 @@ class DiskCache:
 
     def load(self, path: str) -> np.ndarray:
         if self.cache_dir:
-            cpath = os.path.join(self.cache_dir, self._key(path) + ".npy")
+            key = self._key(path)
+            if self._packed is False:  # probe once (thread-safe: idempotent)
+                self._packed = PackedShardReader.open(self.cache_dir)
+            if self._packed is not None:
+                vol = self._packed.get(key)
+                if vol is not None:
+                    return vol
+            cpath = os.path.join(self.cache_dir, key + ".npy")
             if os.path.exists(cpath):
                 return np.load(cpath)
         vol = self._preprocess(path)

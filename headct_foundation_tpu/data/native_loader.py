@@ -35,16 +35,20 @@ _SO = os.path.join(_NATIVE_DIR, "libheadct_native.so")
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-lz"],
-            check=True,
-            capture_output=True,
-            timeout=300,
-        )
-        return True
-    except Exception:
-        return False
+    # try the fast DEFLATE path (libdeflate) first; fall back to zlib-only
+    for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", _SO, "-lz"] + extra,
+                check=True,
+                capture_output=True,
+                timeout=300,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -56,6 +56,7 @@ class DevicePrefetcher:
         field: int = 0,
         dtype: Optional[Any] = None,
         with_counts: bool = False,
+        extra_fields: Any = (),
     ):
         self.loader = loader
         self.mesh = mesh
@@ -63,6 +64,10 @@ class DevicePrefetcher:
         self.field = field
         self.dtype = dtype
         self.with_counts = with_counts
+        # [(tuple_index, dtype)] of additional small fields (labels, ...) to
+        # place sharded on device alongside the volume — keeps per-step H2D
+        # RTTs out of the consumer's critical path.
+        self.extra_fields = tuple(extra_fields)
 
     @classmethod
     def wrap(cls, loader: Any, mesh: Any, **kw) -> "DevicePrefetcher":
@@ -84,7 +89,13 @@ class DevicePrefetcher:
         if isinstance(batch, tuple):
             vol = np.asarray(batch[self.field])
             dev, n = self._put(vol)
-            out = batch[: self.field] + (dev,) + batch[self.field + 1 :]
+            out = list(batch)
+            out[self.field] = dev
+            for idx, dt in self.extra_fields:
+                extra, _ = shard_batch(np.asarray(out[idx]), self.mesh, dtype=dt)
+                jax.block_until_ready(extra)
+                out[idx] = extra
+            out = tuple(out)
             return out + (n,) if self.with_counts else out
         dev, n = self._put(np.asarray(batch))
         return (dev, n) if self.with_counts else dev

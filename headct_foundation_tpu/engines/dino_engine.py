@@ -49,7 +49,7 @@ from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
 from headct_foundation_tpu.optim.optimizers import get_optimizer
 from headct_foundation_tpu.optim.schedules import get_momentum_schedule, get_wd_schedule
 from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
-from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint, wait_for_saves
 from headct_foundation_tpu.utils.metrics import MetricLogger
 
 
@@ -133,8 +133,12 @@ def create_train_state(
 ) -> Tuple[DINOTrainState, Any, Callable, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (state, state_shardings, lr_schedule, wd_sched, momentum_sched,
     teacher_temp_sched)."""
-    from headct_foundation_tpu.ops.attention import attention_mesh
+    from headct_foundation_tpu.ops.attention import (
+        attention_mesh,
+        set_pallas_min_t,
+    )
 
+    set_pallas_min_t(config.PARALLEL.PALLAS_MIN_T)
     backbone = build_vit_model(config, dtype=dtype)
     head = build_dino_head(config, dtype=dtype)
     roi = config.MODEL.ROI
@@ -575,6 +579,7 @@ def trainer(
                        "center": state.center,
                        "head_stats": state.head_stats,
                        "teacher_head_stats": state.teacher_head_stats},
+                async_save=bool(config.TRAIN.ASYNC_CKPT),
             )
         if (epoch + 1) % val_every == 0 and val_loader is not None:
             val_stats = val_one_epoch(
@@ -594,9 +599,11 @@ def trainer(
                                "center": state.center,
                                "head_stats": state.head_stats,
                                "teacher_head_stats": state.teacher_head_stats},
+                        async_save=bool(config.TRAIN.ASYNC_CKPT),
                     )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead
+    wait_for_saves()  # join the in-flight async checkpoint write
     return state, best_loss
 
 

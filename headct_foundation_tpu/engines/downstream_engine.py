@@ -44,7 +44,7 @@ from headct_foundation_tpu.models.classifier import AttentionClassifier, LinearC
 from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
 from headct_foundation_tpu.optim.optimizers import get_optimizer
 from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
-from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint, wait_for_saves
 from headct_foundation_tpu.utils.metrics import MetricLogger, multiclass_metrics
 from headct_foundation_tpu.utils.plots import plot_pr_curve
 
@@ -97,8 +97,12 @@ def create_train_state(
     dtype=jnp.bfloat16,
 ) -> Tuple[DownstreamTrainState, Any, Callable]:
 
-    from headct_foundation_tpu.ops.attention import attention_mesh
+    from headct_foundation_tpu.ops.attention import (
+        attention_mesh,
+        set_pallas_min_t,
+    )
 
+    set_pallas_min_t(config.PARALLEL.PALLAS_MIN_T)
     model = build_vit_model(config, dtype=dtype, lora=config.TRAIN.LORA)
     classifier = build_classifier(config, dtype=dtype)
     roi = config.MODEL.ROI
@@ -302,9 +306,18 @@ def _local_rows(garr, n_local: int) -> np.ndarray:
     r0 = min(_start(s) for s in shards)
     r1 = max(s.index[0].stop or garr.shape[0] for s in shards)
     out = np.empty((r1 - r0,) + garr.shape[1:], dtype=garr.dtype)
+    covered = np.zeros(r1 - r0, dtype=bool)
     for s in shards:
         sl = (slice(_start(s) - r0, (s.index[0].stop or garr.shape[0]) - r0),)
         out[sl + tuple(s.index[1:])] = np.asarray(s.data)
+        covered[sl[0]] = True
+    # A non-contiguous addressable layout along dim 0 (exotic mesh/device
+    # orderings) would leave gap rows uninitialized — fail loudly instead of
+    # silently feeding garbage to metrics.
+    assert covered.all(), (
+        f"non-contiguous addressable shards along dim 0: rows "
+        f"{np.nonzero(~covered)[0] + r0} of [{r0},{r1}) uncovered"
+    )
     return out[:n_local]
 
 
@@ -321,25 +334,101 @@ def _gather_rows(arr: np.ndarray) -> np.ndarray:
     return np.concatenate(list(np.asarray(gathered)), axis=0)
 
 
-def train_one_epoch(
-    config, state, train_step, loader, mesh, rng, epoch, max_epoch, logger=None,
-    wandb_run=None,
-) -> Tuple[DownstreamTrainState, Dict[str, float]]:
-    metric_logger = MetricLogger(logger=logger)
-    all_probs, all_targets = [], []
-    n_batches = len(loader) if hasattr(loader, "__len__") else 0
-    for idx, (vols, targets, _fnames) in enumerate(metric_logger.log_every(loader)):
-        data = _to_device(vols, mesh, np.float32)
-        tgt = _to_device(targets, mesh, np.int32)
-        state, metrics = train_step(state, data, tgt, rng)
-        loss = float(jax.device_get(metrics["loss"]))
+def _gather_strings(strings) -> list:
+    """Concatenate per-process string lists across processes (same process
+    order as ``_gather_rows``), so the tester can write ONE reference-named
+    predictions pickle with every host's fnames (reference:
+    engine_downstream.py:234-237 — single-process there). Strings ride as
+    fixed-width uint8 rows through ``process_allgather``; per-process list
+    lengths are exchanged first so ragged tails reassemble exactly."""
+    if jax.process_count() == 1:
+        return list(strings)
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([len(strings)]))
+    ).reshape(-1)
+    n_max = int(counts.max())
+    enc = [s.encode("utf-8") for s in strings]
+    width = max([len(b) for b in enc] or [1])
+    widths = np.asarray(
+        multihost_utils.process_allgather(np.asarray([width]))
+    ).reshape(-1)
+    width = int(widths.max())
+    buf = np.zeros((n_max, width), np.uint8)
+    for i, b in enumerate(enc):
+        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))  # [P, n_max, W]
+    out = []
+    for p in range(gathered.shape[0]):
+        for i in range(int(counts[p])):
+            row = gathered[p, i]
+            out.append(bytes(row[row != 0]).decode("utf-8"))
+    return out
+
+
+def _wrap_loader(loader, mesh):
+    """DevicePrefetcher over (vols, targets, fnames) batches: volumes AND
+    integer targets land sharded on device in the producer thread (H2D rides
+    under compute, mirroring the MAE loop); fnames pass through on host and
+    the real pre-padding local batch size is appended."""
+    from headct_foundation_tpu.data.pipeline import DevicePrefetcher
+
+    return DevicePrefetcher.wrap(
+        loader, mesh, dtype=np.float32, with_counts=True,
+        extra_fields=((1, np.int32),),
+    )
+
+
+def _drain_step_outputs(pending, logger, on_row) -> None:
+    """Fetch all pending (loss, probs, targets, n_real, idx) device values in
+    ONE batched transfer, hard-abort on non-finite loss (reference:
+    engine_downstream.py:118-120), and feed host rows to ``on_row``. Every
+    value fetch is a host<->device RTT, so per-step fetching would serialize
+    RTTs into the step time (see mae_engine.train_one_epoch)."""
+    if not pending:
+        return
+    if jax.process_count() == 1:
+        fetched = jax.device_get([(l, p, t) for l, p, t, _, _ in pending])
+        rows = [
+            (float(l), np.asarray(p)[:n], np.asarray(t)[:n], idx)
+            for (l, p, t), (_, _, _, n, idx) in zip(fetched, pending)
+        ]
+    else:
+        # multi-host: only the addressable shards can be read back
+        rows = [
+            (
+                float(jax.device_get(l)),
+                _local_rows(p, n),
+                _local_rows(t, n),
+                idx,
+            )
+            for l, p, t, n, idx in pending
+        ]
+    pending.clear()
+    for loss, probs, targets, idx in rows:
         if not math.isfinite(loss):
             if logger:
                 logger.info(f"Loss is {loss}, stopping training")
             sys.exit(1)
-        # this process's rows, minus the shard_batch padding
-        all_probs.append(_local_rows(metrics["probs"], len(targets)))
-        all_targets.append(np.asarray(targets))
+        on_row(loss, probs, targets, idx)
+
+
+def train_one_epoch(
+    config, state, train_step, loader, mesh, rng, epoch, max_epoch, logger=None,
+    wandb_run=None,
+) -> Tuple[DownstreamTrainState, Dict[str, float]]:
+    from headct_foundation_tpu.engines.mae_engine import LOSS_FLUSH
+
+    metric_logger = MetricLogger(logger=logger)
+    all_probs, all_targets = [], []
+    n_batches = len(loader) if hasattr(loader, "__len__") else 0
+    loader = _wrap_loader(loader, mesh)
+    pending = []  # [(loss_dev, probs_dev, targets_dev, n_real, idx)]
+
+    def _on_row(loss, probs, targets, idx):
+        all_probs.append(probs)
+        all_targets.append(targets)
         metric_logger.update(loss=loss)
         if logger:
             logger.info(
@@ -347,6 +436,16 @@ def train_one_epoch(
             )
         if wandb_run is not None:
             wandb_run.log({"Training Loss": loss})
+
+    for idx, (data, tgt, _fnames, n_real) in enumerate(
+        metric_logger.log_every(loader)
+    ):
+        state, metrics = train_step(state, data, tgt, rng)
+        pending.append((metrics["loss"], metrics["probs"], tgt, n_real, idx))
+        if len(pending) >= LOSS_FLUSH:
+            _drain_step_outputs(pending, logger, _on_row)
+
+    _drain_step_outputs(pending, logger, _on_row)
     stats = metric_logger.averages()
     if all_probs:
         m = multiclass_metrics(
@@ -362,36 +461,46 @@ def val_one_epoch(
     config, state, eval_step, loader, mesh, epoch=0, max_epoch=1, logger=None,
     save_preds: bool = False,
 ) -> Dict[str, Any]:
+    from headct_foundation_tpu.engines.mae_engine import LOSS_FLUSH
+
     metric_logger = MetricLogger(logger=logger)
     all_probs, all_targets, all_fnames = [], [], []
-    for idx, (vols, targets, fnames) in enumerate(loader):
-        data = _to_device(vols, mesh, np.float32)
-        tgt = _to_device(targets, mesh, np.int32)
-        metrics = eval_step(state, data, tgt)
-        loss = float(jax.device_get(metrics["loss"]))
+    loader = _wrap_loader(loader, mesh)
+    pending = []
+
+    def _on_row(loss, probs, targets, idx):
+        all_probs.append(probs)
+        all_targets.append(targets)
         metric_logger.update(loss=loss)
-        all_probs.append(_local_rows(metrics["probs"], len(targets)))
-        all_targets.append(np.asarray(targets))
-        all_fnames.extend(fnames)
         if logger:
-            logger.info(f"Val Epoch {epoch + 1}/{max_epoch} [{idx + 1}]  Loss: {loss:.4f}")
+            logger.info(
+                f"Val Epoch {epoch + 1}/{max_epoch} [{idx + 1}]  Loss: {loss:.4f}"
+            )
+
+    for idx, (data, tgt, fnames, n_real) in enumerate(loader):
+        metrics = eval_step(state, data, tgt)
+        all_fnames.extend(fnames)
+        pending.append((metrics["loss"], metrics["probs"], tgt, n_real, idx))
+        if len(pending) >= LOSS_FLUSH:
+            _drain_step_outputs(pending, logger, _on_row)
+    _drain_step_outputs(pending, logger, _on_row)
     stats: Dict[str, Any] = metric_logger.averages()
     if all_probs:
         probs = np.concatenate(all_probs)
         targets_np = np.concatenate(all_targets)
+        g_probs = _gather_rows(probs)
+        g_targets = _gather_rows(targets_np)
         stats.update(
-            multiclass_metrics(
-                _gather_rows(targets_np), _gather_rows(probs),
-                config.DATA.NUM_CLASSES,
-            )
+            multiclass_metrics(g_targets, g_probs, config.DATA.NUM_CLASSES)
         )
         if save_preds:
-            # per-process shard (fnames are host-local strings); multi-host,
-            # each process writes its own rank-suffixed pickle (tester)
+            # GLOBAL prediction set: every process ends up with the same
+            # gathered rows; the tester writes ONE reference-named pickle on
+            # rank 0 (reference: engine_downstream.py:234-237).
             stats["_preds"] = {
-                "fnames": all_fnames,
-                "preds": probs[:, 1] if probs.shape[1] > 1 else probs[:, 0],
-                "targets": targets_np,
+                "fnames": _gather_strings(all_fnames),
+                "preds": g_probs[:, 1] if g_probs.shape[1] > 1 else g_probs[:, 0],
+                "targets": g_targets,
             }
     return stats
 
@@ -439,9 +548,11 @@ def trainer(
                     save_checkpoint(
                         state, epoch, best_auroc, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger,
+                        async_save=bool(config.TRAIN.ASYNC_CKPT),
                     )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead
+    wait_for_saves()  # join the in-flight async checkpoint write
     return state, best, best_auroc
 
 
@@ -459,17 +570,17 @@ def tester(
     preds = stats.pop("_preds", None)
     if preds is not None:
         name = config.PREDS_SAVE_NAME
-        rank = jax.process_index()
-        if rank == 0 or jax.process_count() > 1:
+        # preds/targets/fnames are already globally gathered (val_one_epoch),
+        # so rank 0 writes the single reference-named pickle and the PR curve
+        # agrees with the reported (global) AUROC, matching the reference's
+        # single-process artifact (engine_downstream.py:234-242).
+        if jax.process_index() == 0:
             os.makedirs(preds_dir, exist_ok=True)
-            # each process holds its own shard of predictions/filenames;
-            # rank 0 keeps the reference filename, others are rank-suffixed
-            fname = f"{name}_preds.pkl" if rank == 0 else f"{name}_rank{rank}_preds.pkl"
-            path = os.path.join(preds_dir, fname)
+            path = os.path.join(preds_dir, f"{name}_preds.pkl")
             with open(path, "wb") as f:
                 pickle.dump(preds, f)
             if logger:
                 logger.info(f"Saved predictions to {path}")
-        if rank == 0 and len(np.unique(preds["targets"])) > 1:
-            plot_pr_curve(preds["targets"], preds["preds"], plots_dir, name)
+            if len(np.unique(preds["targets"])) > 1:
+                plot_pr_curve(preds["targets"], preds["preds"], plots_dir, name)
     return stats

@@ -33,7 +33,7 @@ from headct_foundation_tpu.models.mae import MaskedAutoencoderViT
 from headct_foundation_tpu.optim.lr_sched import get_lr_schedule
 from headct_foundation_tpu.optim.optimizers import get_optimizer
 from headct_foundation_tpu.parallel.mesh import batch_sharding, param_shardings
-from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+from headct_foundation_tpu.utils.checkpoint import save_checkpoint, wait_for_saves
 from headct_foundation_tpu.utils.metrics import MetricLogger
 
 
@@ -60,6 +60,7 @@ def build_mae_model(config, dtype=jnp.bfloat16) -> MaskedAutoencoderViT:
         decoder_mlp_dim=config.MAE.DECODER_MLP_DIM,
         decoder_num_heads=config.MAE.DECODER_NUM_HEADS,
         norm_pix_loss=config.MAE.NORM_PIX_LOSS,
+        loss_dtype=getattr(config.MAE, "LOSS_DTYPE", "float32"),
         use_bias=config.MAE.USE_BIAS,
         norm_layer=config.MAE.NORM_LAYER,
         remat=config.PARALLEL.REMAT,
@@ -92,8 +93,12 @@ def create_train_state(
 
     Returns (state, state_shardings, lr_schedule).
     """
-    from headct_foundation_tpu.ops.attention import attention_mesh
+    from headct_foundation_tpu.ops.attention import (
+        attention_mesh,
+        set_pallas_min_t,
+    )
 
+    set_pallas_min_t(config.PARALLEL.PALLAS_MIN_T)
     model = build_mae_model(config, dtype=dtype)
     roi = config.MODEL.ROI
     sample = jnp.zeros((1, config.MAE.IN_CHANS, roi[0], roi[1], roi[2]), dtype)
@@ -289,7 +294,10 @@ def train_one_epoch(
     # fetching one-by-one would serialize RTTs into the step time. Every loss
     # is still fetched, logged, and NaN-checked — the hard abort (reference:
     # engine_pretrain_mae.py:76-78) fires within LOSS_FLUSH steps instead
-    # of 1. Also bounds the dispatch queue depth.
+    # of 1. Deliberate deviation: up to LOSS_FLUSH-1 post-NaN steps run
+    # before exit (in DINO they also touch the teacher EMA/center), so resume
+    # from the last epoch checkpoint after an abort rather than from the
+    # aborted in-memory state. Also bounds the dispatch queue depth.
     pending = []  # [(loss_device, step_idx)]
 
     def _flush():
@@ -419,6 +427,7 @@ def trainer(
             save_checkpoint(
                 state, epoch, best_loss, config.MODEL.DIR, f"latest_{save_name}",
                 logger=logger, extra=checkpoint_extra,
+                async_save=bool(config.TRAIN.ASYNC_CKPT),
             )
         if (epoch + 1) % val_every == 0 and val_loader is not None:
             val_stats = val_one_epoch(
@@ -434,9 +443,11 @@ def trainer(
                     save_checkpoint(
                         state, epoch, best_loss, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger, extra=checkpoint_extra,
+                        async_save=bool(config.TRAIN.ASYNC_CKPT),
                     )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead
+    wait_for_saves()  # join the in-flight async checkpoint write
     return state, best_loss
 
 

@@ -134,11 +134,24 @@ class FeatureExtractor:
         return self._forward(self.params, x)
 
     def extract_from_files(
-        self, paths: Sequence[str], batch_size: int = 8
+        self, paths: Sequence[str], batch_size: int = 8, prefetch: int = 2,
+        workers: int = 3,
     ) -> np.ndarray:
-        """NIfTI paths -> CLS embeddings [N, hidden]."""
+        """NIfTI paths -> CLS embeddings [N, hidden].
+
+        Pipelined: ``workers`` background threads decode + preprocess scans
+        ahead of the consumer (the gzip inflate is the dominant host cost;
+        on a remote-attached chip the per-scan H2D/RTTs also overlap each
+        other) while the main thread dispatches scan i's device forward and
+        fetches batch i-1's result — throughput is the MAX of the pipeline
+        stages instead of their sum. Results keep path order. ``prefetch``
+        bounds the look-ahead window in batches."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         feats = []
         batch: List[np.ndarray] = []
+        pending = []  # (device_out, n) — fetch AFTER dispatching the next batch
 
         def _flush():
             if not batch:
@@ -150,14 +163,37 @@ class FeatureExtractor:
                     [vols, jnp.repeat(vols[-1:], batch_size - n, axis=0)]
                 )
             out, _ = self(vols)
-            feats.append(np.asarray(out[:n, 0, :]))
+            pending.append((out, n))
             batch.clear()
 
-        for p in paths:
-            batch.append(self.preprocess(p))
-            if len(batch) == batch_size:
-                _flush()
-        _flush()
+        def _drain(keep_last: bool = False):
+            while len(pending) > (1 if keep_last else 0):
+                out, n = pending.pop(0)
+                feats.append(np.asarray(out[:n, 0, :]))
+
+        window = max(1, prefetch) * batch_size
+        path_iter = iter(paths)
+        futures: "deque" = deque()
+        with ThreadPoolExecutor(
+            max_workers=max(1, workers), thread_name_prefix="headct-extract"
+        ) as pool:
+
+            def _top_up():
+                while len(futures) < window:
+                    p = next(path_iter, None)
+                    if p is None:
+                        return
+                    futures.append(pool.submit(self.preprocess, p))
+
+            _top_up()
+            while futures:
+                batch.append(futures.popleft().result())
+                _top_up()
+                if len(batch) == batch_size:
+                    _flush()                # dispatch batch k (async) ...
+                    _drain(keep_last=True)  # ... fetch batch k-1 meanwhile
+            _flush()
+            _drain()
         return np.concatenate(feats, axis=0) if feats else np.zeros((0,))
 
     def cls_embedding(self, x: np.ndarray) -> np.ndarray:

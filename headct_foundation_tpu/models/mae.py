@@ -58,6 +58,7 @@ class MaskedAutoencoderViT(nn.Module):
     decoder_mlp_dim: int = 3072
     decoder_num_heads: int = 16
     norm_pix_loss: bool = False
+    loss_dtype: str = "float32"  # "bfloat16": bandwidth-lean loss path
     use_bias: bool = False
     norm_layer: str = "layernorm"
     remat: bool = False
@@ -215,13 +216,21 @@ class MaskedAutoencoderViT(nn.Module):
     def forward_loss(
         self, imgs: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray
     ) -> jnp.ndarray:
-        target = self.patchify(imgs).astype(jnp.float32)
+        # loss_dtype="bfloat16" keeps the [B, L, p^3*C] target/diff tensors
+        # in 2-byte form (the loss path is bandwidth-bound); the per-patch
+        # mean and the final masked reduction still accumulate in f32.
+        ldt = jnp.dtype(self.loss_dtype)
+        target = self.patchify(imgs).astype(ldt)
         if self.norm_pix_loss:
-            mean = target.mean(axis=-1, keepdims=True)
-            var = target.var(axis=-1, keepdims=True)
-            target = (target - mean) / jnp.sqrt(var + 1.0e-6)
+            mean = target.mean(axis=-1, keepdims=True, dtype=jnp.float32)
+            var = jnp.square(target.astype(jnp.float32) - mean).mean(
+                axis=-1, keepdims=True
+            )
+            target = ((target - mean) / jnp.sqrt(var + 1.0e-6)).astype(ldt)
 
-        loss = jnp.square(pred.astype(jnp.float32) - target).mean(axis=-1)
+        loss = jnp.square(pred.astype(ldt) - target).mean(
+            axis=-1, dtype=jnp.float32
+        )
         mask = mask.astype(jnp.float32)
         return (loss * mask).sum() / mask.sum()
 

@@ -44,11 +44,25 @@ def get_attention_backend() -> str:
 
 
 # Sequences shorter than this use XLA even under the pallas backend (the
-# per-(b,h)-program kernels are launch-bound at tiny T). Override with
-# HEADCT_PALLAS_MIN_T (read at import time).
+# per-(b,h)-program kernels are launch-bound at tiny T). Configurable via
+# PARALLEL.PALLAS_MIN_T (engines call set_pallas_min_t) or the
+# HEADCT_PALLAS_MIN_T env var, which is read at CALL time — importing this
+# module before setting the env no longer freezes the threshold.
 import os as _os
 
-_PALLAS_MIN_T = int(_os.environ.get("HEADCT_PALLAS_MIN_T", "192"))
+_PALLAS_MIN_T: Optional[int] = None
+
+
+def set_pallas_min_t(n: Optional[int]) -> None:
+    """Set the Pallas/XLA crossover sequence length (None = env/default)."""
+    global _PALLAS_MIN_T
+    _PALLAS_MIN_T = None if n is None else int(n)
+
+
+def pallas_min_t() -> int:
+    if _PALLAS_MIN_T is not None:
+        return _PALLAS_MIN_T
+    return int(_os.environ.get("HEADCT_PALLAS_MIN_T", "192"))
 
 _CTX = threading.local()
 _UNSET = object()
@@ -141,7 +155,7 @@ def dot_product_attention(
     Returns:
       [B, Tq, H, D] attention output in q.dtype.
     """
-    if get_attention_backend() == "pallas" and q.shape[1] >= _PALLAS_MIN_T:
+    if get_attention_backend() == "pallas" and q.shape[1] >= pallas_min_t():
         # Differentiable at any T: whole-sequence VMEM kernel for short
         # sequences, blocked streaming kernel (custom VJP, Dao alg. 4) for
         # long ones — the 192^3/4096-token stretch config trains on Pallas.

@@ -193,10 +193,16 @@ def fused_attention(q, k, v, scale=None):
     return o
 
 
-def _bh_block(bh_total: int) -> int:
+def _bh_block(bh_total: int, t_pad: int) -> int:
     """Rows of the flattened (batch*head) dim per program: larger blocks
     amortize per-program launch/DMA latency; bounded so operands stay well
-    inside VMEM."""
+    inside VMEM. Near the VMEM-path ceiling (t_pad >= 768) the backward's
+    unrolled [t_pad, t_pad] f32 temporaries (~4 MB each at 1024) plus 9
+    blocked refs per row approach the 16 MB/core budget — one row per
+    program there, so large-T configs cannot hit Mosaic VMEM-exhaustion
+    compile errors."""
+    if t_pad >= 768:
+        return 1
     for hb in (4, 2, 1):
         if bh_total % hb == 0:
             return hb
@@ -210,7 +216,7 @@ def _fused_fwd_impl(q, k, v, scale):
     qp = _prep_bhtd(q, B, H, T, D, t_pad)
     kp = _prep_bhtd(k, B, H, T, D, t_pad)
     vp = _prep_bhtd(v, B, H, T, D, t_pad)
-    hb = _bh_block(B * H)
+    hb = _bh_block(B * H, t_pad)
     spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
@@ -238,7 +244,7 @@ def _fused_bwd(scale, residuals, g):
     s = float(D) ** -0.5 if scale is None else scale
     t_pad = qp.shape[1]
     gp = _prep_bhtd(g, B, H, T, D, t_pad)
-    hb = _bh_block(B * H)
+    hb = _bh_block(B * H, t_pad)
     spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(

@@ -15,15 +15,70 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 
 def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+class _AsyncSaver:
+    """One background writer for checkpoint serialization.
+
+    At most ONE save is in flight (``submit`` joins the previous one first):
+    ordering of latest/best files is preserved and the device-side snapshot
+    memory is bounded to a single extra copy of the state."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def submit(self, fn) -> None:
+        self.wait()
+
+        def _run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on the next wait()/submit()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
+_SAVER = _AsyncSaver()
+
+
+def wait_for_saves() -> None:
+    """Join any in-flight async checkpoint write (end of training, before
+    reading a just-written checkpoint, or in tests)."""
+    _SAVER.wait()
+
+
+def _snapshot(tree: Any) -> Any:
+    """Device-side copy of every jax.Array leaf (an HBM->HBM copy, ~ms/GB —
+    NOT a transfer). The train loop donates the live state's buffers to the
+    next step (donate_argnums), so a background thread must never read them;
+    the copies are ours alone and are fetched/serialized off-thread."""
+    return jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 def save_checkpoint(
@@ -34,31 +89,56 @@ def save_checkpoint(
     filename: str = "model.ckpt",
     logger=None,
     extra: Optional[Dict[str, Any]] = None,
+    async_save: bool = False,
 ) -> str:
+    """Checkpoint {epoch, best_loss, step, params, opt_state, **extra}.
+
+    ``async_save=True`` snapshots the arrays on device (cheap) and moves the
+    D2H fetch + pickle + disk write to a background thread, so the epoch
+    boundary doesn't stall on serializing ~GBs of state (the reference's
+    torch.save is fully synchronous on the trainer, src/utils/misc.py:35-52).
+    """
     os.makedirs(dir_add, exist_ok=True)
     path = os.path.join(dir_add, filename)
-    payload = {
-        "epoch": int(epoch),
-        "best_loss": float(best_loss),
-        "step": int(jax.device_get(state.step)),
-        "params": serialization.to_state_dict(_to_numpy_tree(state.params)),
-        "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
+
+    devtree = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "extra": dict(extra) if extra else {},
     }
-    if extra:
+    if async_save:
+        devtree = _snapshot(devtree)
+
+    def _write():
+        payload = {
+            "epoch": int(epoch),
+            "best_loss": float(best_loss),
+            "step": int(jax.device_get(devtree["step"])),
+            "params": serialization.to_state_dict(_to_numpy_tree(devtree["params"])),
+            "opt_state": serialization.to_state_dict(
+                _to_numpy_tree(devtree["opt_state"])
+            ),
+        }
         payload.update(
             {
                 k: serialization.to_state_dict(_to_numpy_tree(v))
                 if not isinstance(v, (int, float, str))
                 else v
-                for k, v in extra.items()
+                for k, v in devtree["extra"].items()
             }
         )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
-    if logger:
-        logger.info(f"Saving checkpoint {path}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+        if logger:
+            logger.info(f"Saved checkpoint {path}")
+
+    if async_save:
+        _SAVER.submit(_write)
+    else:
+        _write()
     return path
 
 

@@ -17,14 +17,16 @@ def _try_build_native() -> None:
     out = _HERE / "native" / "libheadct_native.so"
     if not src.exists():
         return
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src),
-             "-o", str(out), "-lz"],
-            check=True, capture_output=True, timeout=300,
-        )
-    except Exception:
-        pass  # optional: python fallback covers it
+    for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src),
+                 "-o", str(out), "-lz"] + extra,
+                check=True, capture_output=True, timeout=300,
+            )
+            return
+        except Exception:
+            continue  # optional: python fallback covers it
 
 
 _try_build_native()

@@ -274,3 +274,87 @@ def test_pretrain_factories(tmp_path):
     train, val, test = get_pretrain_dataloaders(cfg)
     vols, fnames = next(iter(train))
     assert vols.shape == (2, 3, ROI, ROI, ROI)
+
+
+def test_packed_cache_roundtrip(tmp_path):
+    """Packed shard format: writer -> index -> memmapped reads identical to
+    the per-volume path; DiskCache serves packed hits without touching the
+    per-volume .npy files."""
+    from headct_foundation_tpu.data.datasets import (
+        DiskCache, PackedCacheWriter, PackedShardReader,
+    )
+
+    paths = _make_scans(tmp_path, 5)
+    cache_dir = str(tmp_path / "cache")
+    cache = DiskCache(cache_dir, (ROI,) * 3, 3)
+    vols = {p: np.array(cache.load(p)) for p in paths}  # per-volume build
+
+    packed_dir = str(tmp_path / "packed")
+    with PackedCacheWriter(
+        packed_dir, (3, ROI, ROI, ROI), volumes_per_shard=2
+    ) as w:
+        for p in paths:
+            w.add(cache._key(p), vols[p])
+
+    reader = PackedShardReader.open(packed_dir)
+    assert reader is not None and len(reader) == 5
+    assert len(reader._shard_counts) == 3  # 2+2+1 across three shards
+    for p in paths:
+        np.testing.assert_array_equal(np.asarray(reader.get(cache._key(p))), vols[p])
+
+    # DiskCache in a packed-only dir: every load is a packed hit, no .npy
+    # files appear
+    pcache = DiskCache(packed_dir, (ROI,) * 3, 3)
+    for p in paths:
+        np.testing.assert_array_equal(np.asarray(pcache.load(p)), vols[p])
+    assert not [f for f in os.listdir(packed_dir) if f.endswith(".npy")]
+
+
+def test_packed_cache_multi_tag_merge(tmp_path):
+    """Rank-tagged shard series (parallel builds) merge at read time."""
+    from headct_foundation_tpu.data.datasets import (
+        PackedCacheWriter, PackedShardReader,
+    )
+
+    shape = (1, 4, 4, 4)
+    rng = np.random.RandomState(0)
+    expect = {}
+    for tag in ("r0_", "r1_"):
+        with PackedCacheWriter(str(tmp_path), shape, 2, tag=tag) as w:
+            for i in range(3):
+                v = rng.rand(*shape).astype(np.float16)
+                expect[f"{tag}{i}"] = v
+                w.add(f"{tag}{i}", v)
+    reader = PackedShardReader.open(str(tmp_path))
+    assert len(reader) == 6
+    for k, v in expect.items():
+        np.testing.assert_array_equal(np.asarray(reader.get(k)), v)
+
+
+def test_threaded_loader_from_packed_cache(tmp_path):
+    """ThreadedLoader batches off a packed cache match the per-volume cache."""
+    from headct_foundation_tpu.data.datasets import DiskCache, PackedCacheWriter
+
+    paths = _make_scans(tmp_path, 4)
+    csv = tmp_path / "train.csv"
+    pd.DataFrame({"img_path": paths}).to_csv(csv, index=False)
+    cfg = _cfg(tmp_path)
+    cache = DiskCache(cfg.DATA.CACHE_DIR, (ROI,) * 3, 3)
+
+    packed_dir = str(tmp_path / "packed")
+    with PackedCacheWriter(packed_dir, (3, ROI, ROI, ROI)) as w:
+        for p in paths:
+            w.add(cache._key(p), cache.load(p))
+
+    ds = PretrainDataset(cfg, str(csv), cache_dir=packed_dir)
+    loader = ThreadedLoader(
+        ds, batch_size=2,
+        indices_fn=lambda epoch: distributed_indices(4, 0, 1, shuffle=False),
+        num_workers=2,
+    )
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2
+    got = np.concatenate([b[0] for b in batches])
+    want = np.stack([cache.load(p) for p in paths])
+    np.testing.assert_array_equal(got, want)

@@ -180,3 +180,64 @@ def test_pallas_attention_shards_without_allgather():
     finally:
         set_attention_backend("xla")
         set_attention_mesh(None)
+
+
+@pytest.mark.slow
+def test_192_config_trains_on_blocked_pallas_path(monkeypatch, tmp_path):
+    """The shipped 192^3 stretch recipe (configs/mae/mae_HeadCT_192.yaml)
+    routes BOTH its attention shapes — 1025-token masked encoder and
+    4097-token decoder — through the blocked Pallas kernel in a real train
+    step. Model width is shrunk for CPU (the geometry that decides dispatch
+    — INPUT_SIZE/PATCH_SIZE/MASK_RATIO — is the recipe's own); the blocked
+    kernel's numerics/grads are covered by the parity tests above, so here
+    it is observed at the dispatch seam and delegated to XLA."""
+    import os
+
+    from headct_foundation_tpu.config import default_config
+    from headct_foundation_tpu.engines import mae_engine
+    from headct_foundation_tpu.ops import attention as attn_mod
+    from headct_foundation_tpu.ops import flash_attention as fa
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    cfg = default_config()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "configs/mae/mae_HeadCT_192.yaml")
+    )
+    for section in (("ENCODER", 2), ("DECODER", 1)):
+        prefix, depth = section
+        setattr(cfg.MAE, f"{prefix}_DEPTH", depth)
+        setattr(cfg.MAE, f"{prefix}_EMBED_DIM", 48)  # % 6 == 0: 3D sincos
+        setattr(cfg.MAE, f"{prefix}_MLP_DIM", 96)
+        setattr(cfg.MAE, f"{prefix}_NUM_HEADS", 4)
+    cfg.MAE.IN_CHANS = 1
+    cfg.MODEL.IN_CHANS = 1
+
+    seen_t = []
+
+    def _spy(q, k, v, scale=None):
+        seen_t.append(q.shape[1])
+        return jax.nn.dot_product_attention(q, k, v, scale=scale)
+
+    monkeypatch.setattr(fa, "blocked_fused_attention", _spy)
+    monkeypatch.setattr(attn_mod, "set_attention_backend", lambda n: None)
+    monkeypatch.setattr(attn_mod, "get_attention_backend", lambda: "pallas")
+
+    mesh = make_mesh(data=len(jax.devices()))
+    rng = jax.random.PRNGKey(0)
+    state, _, _ = mae_engine.create_train_state(
+        cfg, mesh, rng, total_steps=4, num_warmup_steps=1
+    )
+    train_step = mae_engine.make_train_step(mesh)
+    batch = mae_engine._to_device_batch(
+        np.random.RandomState(0).randn(
+            len(jax.devices()), 1, 192, 192, 192
+        ).astype(np.float32),
+        mesh,
+    )
+    state, metrics = train_step(state, batch, rng)
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    # decoder: 4096 patch tokens + CLS; encoder: 1024 kept tokens + CLS
+    assert 4097 in seen_t, seen_t
+    assert 1025 in seen_t, seen_t
+    assert all(t > fa.VMEM_PATH_MAX_T for t in seen_t), seen_t

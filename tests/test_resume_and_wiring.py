@@ -210,3 +210,67 @@ def test_save_attn_surface():
         att = np.asarray(inter["intermediates"][f"blocks_{i}"]["attn"]["att_mat"][0])
         assert att.shape == (2, 4, T, T)
         np.testing.assert_allclose(att.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save=True: device-side snapshot + background write produces a
+    byte-identical payload to the synchronous path, survives immediate state
+    mutation (donation stand-in), and wait_for_saves() joins the writer."""
+    import jax
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint, wait_for_saves,
+    )
+
+    class S:
+        step = jnp.asarray(7, jnp.int32)
+        params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+        opt_state = {"mu": jnp.ones((2, 3), jnp.float32)}
+
+    state = S()
+    save_checkpoint(state, 3, 0.5, str(tmp_path), "sync.ckpt")
+    save_checkpoint(
+        state, 3, 0.5, str(tmp_path), "async.ckpt",
+        extra={"center": jnp.full((1, 4), 2.0)}, async_save=True,
+    )
+    # mutate the live arrays' contents conceptually: rebind to new values —
+    # the snapshot must be independent of the current state object
+    state.params = {"w": jnp.zeros((2, 3), jnp.float32)}
+    wait_for_saves()
+
+    sync = load_checkpoint(str(tmp_path / "sync.ckpt"))
+    asyn = load_checkpoint(str(tmp_path / "async.ckpt"))
+    assert asyn["epoch"] == 3 and asyn["step"] == 7
+    np.testing.assert_array_equal(
+        np.asarray(sync["params"]["w"]), np.asarray(asyn["params"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(asyn["params"]["w"]),
+        np.arange(6, dtype=np.float32).reshape(2, 3),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(asyn["center"]), np.full((1, 4), 2.0, np.float32)
+    )
+
+
+def test_async_checkpoint_error_surfaces(tmp_path):
+    """A failed background write raises on the next wait_for_saves()."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from headct_foundation_tpu.utils.checkpoint import (
+        save_checkpoint, wait_for_saves,
+    )
+
+    class S:
+        step = jnp.asarray(0, jnp.int32)
+        params = {"w": jnp.zeros((2,))}
+        opt_state = {}
+
+    target = tmp_path / "dir_is_file"
+    target.write_text("x")  # makedirs succeeds (exists) but open() under it fails
+    with _pytest.raises(Exception):
+        save_checkpoint(S(), 0, 0.0, str(target / "sub"), "a.ckpt",
+                        async_save=True)
+        wait_for_saves()

@@ -41,13 +41,9 @@ def main() -> None:
     cfg = default_config()
     cfg_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "configs/mae/mae_HeadCT.yaml",
+        "configs/mae/mae_HeadCT_192.yaml",
     )
-    if os.path.exists(cfg_path):
-        cfg.merge_from_file(cfg_path)
-    cfg.MAE.INPUT_SIZE = 192
-    cfg.MODEL.ROI = [192, 192, 192]
-    cfg.TRAIN.GRAD_CLIP = 0.0
+    cfg.merge_from_file(cfg_path)  # the shipped 192^3 stretch recipe
 
     n_chips = len(jax.devices())
     mesh = make_mesh(data=n_chips)

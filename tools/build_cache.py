@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd
 
-from headct_foundation_tpu.data.datasets import DiskCache
+from headct_foundation_tpu.data.datasets import DiskCache, PackedCacheWriter
 
 
 def _respect_platform_env():
@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--device", action="store_true",
                     help="preprocess on the attached TPU (on-device cubic "
                          "resample/window/resize; sets HEADCT_DEVICE_CACHE=1)")
+    ap.add_argument("--packed", action="store_true",
+                    help="also write the packed shard format (memmapped "
+                         "pack_*.bin + pack_index*.json): the steady-state "
+                         "loader then does zero per-volume file opens")
+    ap.add_argument("--volumes-per-shard", type=int, default=512)
     args = ap.parse_args()
     if args.device:
         os.environ["HEADCT_DEVICE_CACHE"] = "1"
@@ -59,22 +64,38 @@ def main() -> None:
     errors = 0
     t0 = time.time()
 
-    def _one(path: str) -> bool:
+    def _one(path: str):
         try:
-            cache.load(path)
-            return True
+            return path, cache.load(path)
         except Exception as e:
             print(f"ERROR {path}: {e}", file=sys.stderr)
-            return False
+            return path, None
+
+    packer = None
+    if args.packed:
+        # one shard series per manifest shard: rank-parallel builds merge at
+        # read time via their pack_index<tag>.json files
+        tag = f"r{args.shard}_" if args.num_shards > 1 else ""
+        packer = PackedCacheWriter(
+            args.cache_dir, (args.in_chans,) + (args.roi,) * 3,
+            volumes_per_shard=args.volumes_per_shard, tag=tag,
+        )
 
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
-        for ok in pool.map(_one, paths):
+        for path, vol in pool.map(_one, paths):
             done += 1
-            errors += (not ok)
+            if vol is None:
+                errors += 1
+            elif packer is not None:
+                packer.add(cache._key(path), vol)  # writer thread = this one
             if done % 100 == 0:
                 rate = done / (time.time() - t0)
                 print(f"[{done}/{len(paths)}] {rate:.1f} scans/s, {errors} errors")
 
+    if packer is not None:
+        packer.close()
+        print(f"packed index: {len(packer.entries)} volumes, "
+              f"{len(packer.shard_counts)} shards")
     print(f"done: {done} scans, {errors} errors, {time.time() - t0:.0f}s")
 
 

@@ -1,0 +1,257 @@
+"""Sustained-run loss-trajectory harness: prove dynamic training correctness.
+
+The unit/parity suite pins 1-2 step outcomes; this tool runs the REAL engine
+epoch loops (train_one_epoch with its schedule indexing, EMA/centering,
+batched loss fetches, prefetcher — exactly what the CLI mains drive) for a
+few hundred optimizer steps on synthetic structured volumes and records the
+per-step loss trajectory to JSON + PNG.
+
+What it checks (hard assertions unless --no-assert):
+* MAE: loss descends — mean(last 15%) < mean(first 15%) — with on-device
+  augmentation active, accumulation on or off.
+* DINO: the first-step loss sits near ln(HEAD_N_PROTOTYPES) (= 11.09 for the
+  flagship 65,536-prototype head — the reference's recorded start, 11.29 @
+  step 15 of run-20250112_020735, slurm_submit/wandb .../wandb-summary.json)
+  AND descends under the full schedule interaction: teacher-temp warmup,
+  teacher-momentum (reference's within-epoch idx quirk), per-iter weight
+  decay, center EMA, last-layer cancel crossing its epoch boundary.
+
+Usage (flagship configs, scaled-down batch):
+  python tools/trajectory.py --engine mae  --epochs 10 --steps-per-epoch 30 --batch 16
+  python tools/trajectory.py --engine dino --epochs 10 --steps-per-epoch 30 --batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+class SyntheticLoader:
+    """In-memory loader with the ThreadedLoader contract: yields
+    (volumes, fnames) batches, supports set_epoch/__len__/close."""
+
+    def __init__(self, pool: np.ndarray, batch: int, steps: int, seed: int = 0):
+        self.pool = pool
+        self.batch = batch
+        self.steps = steps
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return self.steps
+
+    def close(self) -> None:
+        pass
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self.epoch)
+        for i in range(self.steps):
+            idx = rng.randint(0, len(self.pool), size=self.batch)
+            yield self.pool[idx], [f"synthetic_{j}" for j in idx]
+
+
+def make_blob_pool(n: int, in_chans: int, roi: int, seed: int = 0) -> np.ndarray:
+    """Structured volumes: smooth random low-frequency fields in [0, 1],
+    channel-correlated like the 3-window HU stack — learnable content, so
+    descent is meaningful (pure noise only teaches the mean)."""
+    from scipy.ndimage import zoom
+
+    rng = np.random.RandomState(seed)
+    pool = np.empty((n, in_chans, roi, roi, roi), np.float16)
+    for i in range(n):
+        coarse = rng.rand(6, 6, 6).astype(np.float32)
+        base = zoom(coarse, roi / 6.0, order=1)[:roi, :roi, :roi]
+        base = (base - base.min()) / (base.max() - base.min() + 1e-6)
+        chans = [base]
+        while len(chans) < in_chans:
+            k = len(chans)
+            chans.append(np.clip(base * (1.0 + 0.4 * k) - 0.15 * k, 0.0, 1.0))
+        pool[i] = np.stack(chans[:in_chans]).astype(np.float16)
+    return pool
+
+
+class RecordingRun:
+    """wandb-run stand-in capturing the engines' per-step log calls."""
+
+    def __init__(self):
+        self.losses = []
+        self.lrs = []
+
+    def log(self, d):
+        if "Training Loss" in d:
+            self.losses.append(float(d["Training Loss"]))
+        if "Training lr" in d:
+            self.lrs.append(float(d["Training lr"]))
+
+
+def _flagship(engine: str, repo_root: str):
+    from headct_foundation_tpu.config import default_config
+
+    cfg = default_config()
+    name = "configs/mae/mae_HeadCT.yaml" if engine == "mae" else (
+        "configs/dino/dino_HeadCT.yaml"
+    )
+    cfg.merge_from_file(os.path.join(repo_root, name))
+    return cfg
+
+
+def run_mae(cfg, mesh, epochs, steps, batch, accum, rng, pool):
+    import jax
+
+    from headct_foundation_tpu.engines import mae_engine
+
+    total = epochs * steps
+    state, _, lr_schedule = mae_engine.create_train_state(
+        cfg, mesh, rng, total_steps=total,
+        num_warmup_steps=int(cfg.TRAIN.PER_WARMUP * total),
+    )
+    train_step = mae_engine.make_train_step(
+        mesh, augment=True, accum_steps=accum
+    )
+    loader = SyntheticLoader(pool, batch, steps)
+    rec = RecordingRun()
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        state, _ = mae_engine.train_one_epoch(
+            cfg, state, train_step, loader, mesh, rng, lr_schedule, epoch,
+            epochs, wandb_run=rec,
+        )
+    return rec
+
+
+def run_dino(cfg, mesh, epochs, steps, batch, rng, pool):
+    from headct_foundation_tpu.engines import dino_engine
+
+    total = epochs * steps
+    state, _, lr_schedule, wd_sched, momentum_sched, temp_sched = (
+        dino_engine.create_train_state(
+            cfg, mesh, rng, total, int(cfg.TRAIN.PER_WARMUP * total),
+            niter_per_ep=steps,
+        )
+    )
+    train_step = dino_engine.make_train_step(cfg, mesh)
+    loader = SyntheticLoader(pool, batch, steps)
+    rec = RecordingRun()
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        state, _ = dino_engine.train_one_epoch(
+            cfg, state, train_step, loader, mesh, rng, lr_schedule, wd_sched,
+            momentum_sched, temp_sched, epoch, epochs, wandb_run=rec,
+        )
+    return rec
+
+
+def save_png(losses, path, title):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 3.5), dpi=120)
+    ax.plot(np.arange(1, len(losses) + 1), losses, color="#2563eb", lw=1.5)
+    ax.set_xlabel("optimizer step", color="#374151")
+    ax.set_ylabel("training loss", color="#374151")
+    ax.set_title(title, color="#111827", fontsize=11)
+    ax.grid(True, color="#e5e7eb", lw=0.6)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", choices=["mae", "dino"], required=True)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--steps-per-epoch", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--accum", type=int, default=1, help="MAE only")
+    ap.add_argument("--pool", type=int, default=64, help="distinct volumes")
+    ap.add_argument("--out-prefix", default=None)
+    ap.add_argument("--no-assert", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = _flagship(args.engine, repo_root)
+    roi = cfg.MODEL.ROI[0]
+    in_chans = cfg.MODEL.IN_CHANS
+    mesh = make_mesh(data=len(jax.devices()))
+    rng = jax.random.PRNGKey(cfg.SEED)
+    pool = make_blob_pool(args.pool, in_chans, roi)
+
+    t0 = time.time()
+    if args.engine == "mae":
+        rec = run_mae(cfg, mesh, args.epochs, args.steps_per_epoch,
+                      args.batch, args.accum, rng, pool)
+    else:
+        rec = run_dino(cfg, mesh, args.epochs, args.steps_per_epoch,
+                       args.batch, rng, pool)
+    wall = time.time() - t0
+
+    losses = rec.losses
+    n = len(losses)
+    k = max(1, int(0.15 * n))
+    head, tail = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    summary = {
+        "engine": args.engine,
+        "steps": n,
+        "batch": args.batch,
+        "accum": args.accum,
+        "epochs": args.epochs,
+        "start_loss": losses[0] if losses else None,
+        "head_mean": head,
+        "tail_mean": tail,
+        "descended": tail < head,
+        "wall_s": round(wall, 1),
+        "backend": jax.default_backend(),
+        "losses": [round(l, 5) for l in losses],
+        "lrs": [float(l) for l in rec.lrs[:: max(1, n // 50)]],
+    }
+    prefix = args.out_prefix or os.path.join(
+        repo_root, f"trajectory_{args.engine}"
+    )
+    with open(prefix + ".json", "w") as f:
+        json.dump(summary, f)
+    save_png(
+        losses, prefix + ".png",
+        f"{args.engine.upper()} training loss — {n} steps, batch {args.batch} "
+        f"({jax.default_backend()})",
+    )
+    print(json.dumps({k: v for k, v in summary.items() if k != "losses"}))
+
+    if not args.no_assert:
+        assert n >= args.epochs * args.steps_per_epoch, n
+        assert all(np.isfinite(losses)), "non-finite loss"
+        assert tail < head, f"no descent: head={head:.4f} tail={tail:.4f}"
+        if args.engine == "dino":
+            expected = float(np.log(cfg.DINO.HEAD_N_PROTOTYPES))
+            assert abs(losses[0] - expected) < 1.5, (
+                f"start {losses[0]:.3f} vs ln(K)={expected:.3f}"
+            )
+        print("trajectory assertions PASSED")
+
+
+if __name__ == "__main__":
+    try:
+        from headct_foundation_tpu.parallel.mesh import respect_jax_platforms_env
+
+        respect_jax_platforms_env()
+    except Exception:
+        pass
+    main()
