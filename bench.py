@@ -68,6 +68,11 @@ def _flagship_config():
         cfg.MAE.PATCH_SIZE = 12
         cfg.MAE.USE_BIAS = True
     cfg.TRAIN.GRAD_CLIP = 0.0  # matches mae_HeadCT.yaml recipe
+    # A/B experiment overrides: `--set KEY VALUE [KEY VALUE ...]`
+    if "--set" in sys.argv:
+        pairs = sys.argv[sys.argv.index("--set") + 1 :]
+        pairs = pairs[: len(pairs) // 2 * 2]
+        cfg.merge_from_list(pairs)
     return cfg
 
 

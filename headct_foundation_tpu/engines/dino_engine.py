@@ -345,16 +345,28 @@ def make_train_step(config, mesh: Mesh):
             loss = lsum / accum_steps
             t_mean = tsum / accum_steps
 
-        # Cancel last-layer grads during warmup epochs (reference: misc.py:366-371).
+        # Cancel last-layer updates during warmup epochs (reference:
+        # misc.py:366-371 sets p.grad = None, so torch AdamW skips the param
+        # ENTIRELY — no moment update and no weight decay). Masking the grads
+        # keeps the Adam moments at zero (0-in -> 0-state), and masking the
+        # post-optimizer update kills the decoupled weight-decay term too —
+        # the parameter is bit-frozen like the reference's. (Known residual
+        # deviation: optax's bias correction uses the global step count, so
+        # the first few post-unfreeze updates are slightly smaller than
+        # torch's fresh per-param count; transient, ~20 steps.)
         keep = (1.0 - cancel_last_layer).astype(freeze_flag_dtype)
-        grads = jax.tree_util.tree_map_with_path(
-            lambda path, g: g * keep
-            if any(str(getattr(k, "key", k)) == "last_layer" for k in path)
-            else g,
-            grads,
-        )
 
+        def _mask_last_layer(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, g: g * keep.astype(g.dtype)
+                if any(str(getattr(k, "key", k)) == "last_layer" for k in path)
+                else g,
+                tree,
+            )
+
+        grads = _mask_last_layer(grads)
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        updates = _mask_last_layer(updates)
         new_params = optax.apply_updates(state.params, updates)
 
         # Teacher EMA (reference: misc.py:386-397).

@@ -238,3 +238,38 @@ def test_remat_with_dropout_traces():
 
     g = jax.grad(loss)(params)  # must trace and differentiate
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_mae_loss_dtype_bfloat16_close_to_f32():
+    """MAE.LOSS_DTYPE='bfloat16' (bandwidth experiment): same loss to bf16
+    tolerance; default 'float32' math unchanged (covered by parity oracle)."""
+    import jax
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.models.mae import MaskedAutoencoderViT
+
+    kw = dict(
+        input_size=24, patch_size=12, mask_ratio=0.75, in_chans=1,
+        pos_embed="learnable", encoder_depth=1, encoder_embed_dim=48,
+        encoder_mlp_dim=96, encoder_num_heads=4, decoder_depth=1,
+        decoder_embed_dim=48, decoder_mlp_dim=96, decoder_num_heads=4,
+        use_bias=True,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 1, 24, 24, 24), jnp.float32
+    )
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for ldt in ("float32", "bfloat16"):
+        for npx in (False, True):
+            m = MaskedAutoencoderViT(loss_dtype=ldt, norm_pix_loss=npx, **kw)
+            params = m.init({"params": jax.random.PRNGKey(1), "mask": rng}, x)[
+                "params"
+            ]
+            loss, _, _ = m.apply(
+                {"params": params}, x, deterministic=True, mask_rng=rng
+            )
+            losses[(ldt, npx)] = float(loss)
+    for npx in (False, True):
+        f32, bf16 = losses[("float32", npx)], losses[("bfloat16", npx)]
+        assert abs(f32 - bf16) / max(abs(f32), 1e-6) < 2e-2, (f32, bf16)

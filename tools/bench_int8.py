@@ -24,17 +24,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-RUNS = 5
+RUNS = 3
+CHAIN = 16  # matmuls per timed dispatch
 
 
-def _time(fn, *args) -> float:
-    jax.block_until_ready(fn(*args))  # compile + warm
+def _chain(op, a, b):
+    """Time CHAIN dependent matmuls inside one jit and fetch a VALUE: on a
+    remote-attached chip block_until_ready can return before the computation
+    finishes (ROUND_NOTES), so only a value fetch is a reliable fence, and
+    the chain amortizes the relay RTT. Each iteration rolls the operand by a
+    DATA-DEPENDENT amount (out[0,0] % 2) so XLA can neither CSE the matmuls
+    nor break the sequential dependency."""
+
+    @jax.jit
+    def chained(a, b):
+        def body(carry, _):
+            out = op(carry, b)
+            shift = out[0, 0].astype(jnp.int32) % 2
+            return jnp.roll(carry, shift, axis=0), out[0, 0]
+        _, vals = jax.lax.scan(body, a, None, length=CHAIN)
+        return vals
+
+    float(np.asarray(jax.device_get(chained(a, b)))[-1])  # compile + warm
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        v = chained(a, b)
+        float(np.asarray(jax.device_get(v))[-1])
+        best = min(best, (time.perf_counter() - t0) / CHAIN)
     return best
 
 
@@ -42,7 +59,6 @@ def main() -> None:
     # MAE decoder MLP: [B=32, T=513] tokens, D=768 -> 3072 -> 768 (both halves)
     shapes = [
         ("mae_mlp", (32 * 513, 768), (768, 3072)),
-        ("dino_student_mlp", (128 * 513, 768), (768, 3072)),
         ("qkv_proj", (32 * 513, 768), (768, 2304)),
     ]
     rng = np.random.RandomState(0)
@@ -51,10 +67,9 @@ def main() -> None:
         a = jnp.asarray(rng.randn(*a_shape), jnp.bfloat16)
         b = jnp.asarray(rng.randn(*b_shape), jnp.bfloat16)
 
-        bf16 = jax.jit(lambda a, b: a @ b)
-        t_bf16 = _time(bf16, a, b)
+        t_bf16 = _chain(lambda x, y: x @ y, a, b)
+        print(f"{name}: bf16 {t_bf16*1e3:.3f} ms", flush=True)
 
-        @jax.jit
         def int8_static(a8, b8):
             # pre-quantized operands: the pure MXU int8 rate
             return jax.lax.dot_general(
@@ -64,9 +79,8 @@ def main() -> None:
 
         a8 = jnp.asarray(rng.randint(-127, 127, a_shape), jnp.int8)
         b8 = jnp.asarray(rng.randint(-127, 127, b_shape), jnp.int8)
-        t_int8 = _time(int8_static, a8, b8)
+        t_int8 = _chain(int8_static, a8, b8)
 
-        @jax.jit
         def int8_dynamic(a, b):
             # what a training step would actually run: dynamic per-tensor
             # scales + quantize + int8 matmul + dequantize
@@ -84,7 +98,7 @@ def main() -> None:
             )
             return (acc.astype(jnp.float32) * (sa * sb)).astype(jnp.bfloat16)
 
-        t_dyn = _time(int8_dynamic, a, b)
+        t_dyn = _chain(int8_dynamic, a, b)
 
         flops = 2 * a_shape[0] * a_shape[1] * b_shape[1]
         report[name] = {
