@@ -347,6 +347,19 @@ def feature_throughput() -> None:
     feats = extractor.extract_from_files(paths, batch_size=4)
     dt = time.perf_counter() - t0
     assert feats.shape[0] == n
+
+    # Decompose the bound: each scan ships raw int16 over the tunnel
+    # (220x220x140 x 2 B = 13.5 MB). Probe the H2D bandwidth RIGHT NOW
+    # (it varies minute-to-minute on this mount, ROUND_NOTES) so the
+    # scans/s number can be read against its transport ceiling.
+    probe = np.zeros((220, 220, 140), np.int16)
+    bws = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(probe))
+        bws.append(probe.nbytes / (time.perf_counter() - t1))
+    h2d = max(bws)
+    bound = h2d / probe.nbytes  # scans/s if transport were the only stage
     print(
         json.dumps(
             {
@@ -354,6 +367,9 @@ def feature_throughput() -> None:
                 "value": round(n / dt, 2),
                 "unit": "scans/s",
                 "vs_baseline": None,
+                "h2d_MB_per_s": round(h2d / 1e6, 1),
+                "transport_bound_scans_per_s": round(bound, 2),
+                "frac_of_transport_bound": round(n / dt / bound, 3),
             }
         )
     )

@@ -7,11 +7,16 @@ whole voxel-touching pipeline runs on the TPU as dense matmuls:
 
   host:   NIfTI decode -> RAS orient                       (cheap memcpy ops)
   device: cubic resample to 1 mm   = 3 per-axis matmuls    (MXU)
-  host:   foreground bbox          (from 3 tiny per-axis any-flags)
+  device: foreground bbox + 'area' crop-resize operators   (argmax + iota)
   device: crop + 'area' resize to ROI = 3 per-axis matmuls (MXU, gather-free:
           the crop is folded into the resize operator, same trick as the
           DINO multi-crop in data/augment.py)
   device: HU window stack          (elementwise, fused by XLA)
+
+Everything after the decode is ONE jitted dispatch (``_fused_preprocess``)
+with zero mid-scan host round trips — on a remote-attached chip the old
+flags-to-host bbox path cost 3 D2H RTTs + a second dispatch per scan, which
+dominated the per-scan latency.
 
 Numerical parity: the per-axis cubic operator is EXACT scipy parity by
 construction — it is ``scipy.ndimage.zoom`` applied to an identity matrix
@@ -87,16 +92,67 @@ def _chunked_put(arr: np.ndarray, chunk_bytes: int = 12 << 20) -> jax.Array:
     return chunked_device_put(arr, chunk_bytes)
 
 
-@jax.jit
-def _apply_axes(vol: jax.Array, mh: jax.Array, mw: jax.Array, md: jax.Array):
-    """vol [H, W, D] -> (Mh vol Mw^T Md^T, per-axis foreground any-flags)."""
+def _device_area_ops(out: jax.Array, n_reals, roi):
+    """On-device foreground bbox + 'area' crop-resize operators.
+
+    Replicates ``area_axis_operator`` (same integer cell arithmetic) with the
+    bounds computed from the volume ON DEVICE, so the whole preprocess is a
+    single dispatch with no host round trip: the old flags->host->operator
+    path cost 3 small D2H fetches (3 tunnel RTTs) + a second dispatch per
+    scan — the dominant per-scan latency on a remote-attached chip.
+
+    Bbox semantics match ``MONAI CropForeground`` defaults exactly
+    (select_fn x > 0, margin 0; empty foreground -> full axis [0, n_real))."""
+    fg = out > 0
+    ops = []
+    for axis in range(3):
+        n_real, n_out = int(n_reals[axis]), int(roi[axis])
+        reduce_axes = tuple(i for i in range(3) if i != axis)
+        f = jnp.any(fg, axis=reduce_axes)  # [n_pad] incl. inert zero padding
+        n_pad = f.shape[0]
+        f = jnp.logical_and(f, jnp.arange(n_pad) < n_real)
+        any_f = jnp.any(f)
+        start = jnp.where(any_f, jnp.argmax(f), 0).astype(jnp.int32)
+        last = (n_pad - 1 - jnp.argmax(f[::-1])).astype(jnp.int32)
+        end = jnp.where(any_f, last + 1, n_real)
+        length = end - start
+        i = jnp.arange(n_out, dtype=jnp.int32)[:, None]   # out cells
+        j = jnp.arange(n_pad, dtype=jnp.int32)[None, :]   # in cells
+        s_i = (i * length) // n_out                        # floor(i*L/O)
+        e_i = -((-(i + 1) * length) // n_out)              # ceil((i+1)*L/O)
+        w = ((j >= start + s_i) & (j < start + e_i)).astype(jnp.float32)
+        ops.append(w / (e_i - s_i).astype(jnp.float32))
+    return ops
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _fused_preprocess(vol, mh, mw, md, n_reals, roi, in_channels, order):
+    """Padded raw [H, W, D] -> windowed [C, *roi] in ONE dispatch:
+
+      cubic resample (3 per-axis matmuls) -> on-device foreground bbox ->
+      on-device 'area' crop+resize operators -> HU window stack
+
+    ``order`` picks where the window stack sits: 'notebook' windows AFTER
+    the resize (feature extraction, SURVEY.md §3.4), 'training' windows
+    BEFORE it (reference loading_transforms, src/data/transforms.py:159-170).
+    """
     vol = vol.astype(jnp.float32)
     out = jnp.einsum("ah,hwd->awd", mh, vol)
     out = jnp.einsum("bw,awd->abd", mw, out)
     out = jnp.einsum("cd,abd->abc", md, out)
-    fg = out > 0
-    return out, (jnp.any(fg, axis=(1, 2)), jnp.any(fg, axis=(0, 2)),
-                 jnp.any(fg, axis=(0, 1)))
+    ah, aw, ad = _device_area_ops(out, n_reals, roi)
+    lows, highs = _window_params(in_channels)
+    lo = jnp.asarray(lows)[:, None, None, None]
+    hi = jnp.asarray(highs)[:, None, None, None]
+    if order == "training":
+        ch = jnp.clip((out[None] - lo) / (hi - lo), 0.0, 1.0)
+        r = jnp.einsum("ah,chwd->cawd", ah, ch)
+        r = jnp.einsum("bw,cawd->cabd", aw, r)
+        return jnp.einsum("ed,cabd->cabe", ad, r)
+    r = jnp.einsum("ah,hwd->awd", ah, out)
+    r = jnp.einsum("bw,awd->abd", aw, r)
+    r = jnp.einsum("cd,abd->abc", ad, r)
+    return jnp.clip((r[None] - lo) / (hi - lo), 0.0, 1.0)
 
 
 def _window_params(in_channels: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -108,36 +164,6 @@ def _window_params(in_channels: int) -> Tuple[np.ndarray, np.ndarray]:
     else:
         raise NotImplementedError(f"Channel size {in_channels} is not implemented.")
     return np.asarray(lows, np.float32), np.asarray(highs, np.float32)
-
-
-@functools.partial(jax.jit, static_argnums=(4,))
-def _crop_resize_window(vol, ah, aw, ad, in_channels):
-    """[H', W', D'] -> windowed [C, *roi]: crop+area-resize via per-axis
-    operators, then the HU window stack ((x - lo) / (hi - lo) clipped to
-    [0, 1]; reference: src/data/transforms.py:8-36). Notebook order —
-    resize BEFORE windowing (SURVEY.md §3.4)."""
-    out = jnp.einsum("ah,hwd->awd", ah, vol)
-    out = jnp.einsum("bw,awd->abd", aw, out)
-    out = jnp.einsum("cd,abd->abc", ad, out)
-    lows, highs = _window_params(in_channels)
-    lo = jnp.asarray(lows)[:, None, None, None]
-    hi = jnp.asarray(highs)[:, None, None, None]
-    return jnp.clip((out[None] - lo) / (hi - lo), 0.0, 1.0)
-
-
-@functools.partial(jax.jit, static_argnums=(4,))
-def _window_crop_resize(vol, ah, aw, ad, in_channels):
-    """Training order — window BEFORE resize (reference training chain,
-    src/data/transforms.py:159-170): HU window stack on the cropped region,
-    then crop+area-resize per channel via the same per-axis operators."""
-    lows, highs = _window_params(in_channels)
-    lo = jnp.asarray(lows)[:, None, None, None]
-    hi = jnp.asarray(highs)[:, None, None, None]
-    ch = jnp.clip((vol[None] - lo) / (hi - lo), 0.0, 1.0)  # [C, H', W', D']
-    out = jnp.einsum("ah,chwd->cawd", ah, ch)
-    out = jnp.einsum("bw,cawd->cabd", aw, out)
-    out = jnp.einsum("ed,cabd->cabe", ad, out)
-    return out
 
 
 class DevicePreprocessor:
@@ -158,7 +184,10 @@ class DevicePreprocessor:
         self.in_channels = in_channels
         self.order = order
 
-    def _resample(self, data: np.ndarray, vox: np.ndarray):
+    def _ship(self, data: np.ndarray, vox: np.ndarray):
+        """Host side of the pipeline: cubic operators (cached) + the one
+        H2D transfer. Returns (padded device volume, padded operators,
+        real resampled lengths)."""
         H, W, D = data.shape
         zooms = [float(v) for v in vox]
         if np.allclose(zooms, 1.0, atol=1e-3):  # scipy-path skip semantics
@@ -183,25 +212,10 @@ class DevicePreprocessor:
             raw, [(0, b - n) for n, b in zip((H, W, D), in_b)]
         )
         mh, mw, md = (
-            _pad_op(m, ob, ib) for m, ob, ib in zip(ops, out_b, in_b)
+            jnp.asarray(_pad_op(m, ob, ib))
+            for m, ob, ib in zip(ops, out_b, in_b)
         )
-        vol, flags = _apply_axes(
-            padded, jnp.asarray(mh), jnp.asarray(mw), jnp.asarray(md)
-        )
-        return vol, outs, [np.asarray(f) for f in flags]
-
-    def _bbox(self, flags, outs):
-        """Foreground bbox from per-axis any-flags (MONAI CropForeground
-        defaults: select_fn x > 0, margin 0)."""
-        bounds = []
-        for f, n in zip(flags, outs):
-            f = f[:n]
-            nz = np.nonzero(f)[0]
-            if len(nz) == 0:
-                bounds.append((0, n))
-            else:
-                bounds.append((int(nz[0]), int(nz[-1]) + 1))
-        return bounds
+        return padded, (mh, mw, md), outs
 
     def _decode(self, path: str):
         """NIfTI decode + RAS orient: native C++ when built (GIL-free, ~2x
@@ -229,13 +243,8 @@ class DevicePreprocessor:
     def __call__(self, path: str) -> jax.Array:
         data, affine = self._decode(path)
         vox = np.linalg.norm(affine[:3, :3], axis=0)
-
-        vol, outs, flags = self._resample(data, vox)
-        bounds = self._bbox(flags, outs)
-        ops = [
-            jnp.asarray(area_axis_operator(int(vol.shape[i]), s, e, self.roi[i]))
-            for i, (s, e) in enumerate(bounds)
-        ]
-        stage = (_window_crop_resize if self.order == "training"
-                 else _crop_resize_window)
-        return stage(vol, *ops, self.in_channels)
+        padded, (mh, mw, md), outs = self._ship(data, vox)
+        return _fused_preprocess(
+            padded, mh, mw, md, tuple(outs), self.roi, self.in_channels,
+            self.order,
+        )

@@ -44,6 +44,36 @@ def test_extract_from_files(extractor, tmp_path):
     np.testing.assert_allclose(feats, feats2, atol=1e-4)
 
 
+def test_device_area_ops_match_host_operator():
+    """The on-device bbox + 'area' operator builder (_device_area_ops,
+    inside the fused single-dispatch preprocess) must reproduce the host
+    reference builder (area_axis_operator) bit-for-bit — including a
+    NONTRIVIAL foreground crop and the empty-foreground full-axis
+    fallback."""
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.data.device_preprocess import (
+        _device_area_ops,
+        area_axis_operator,
+    )
+
+    n_pad, n_real, n_out = 64, 50, 24
+    vol = np.zeros((n_pad, n_pad, n_pad), np.float32)
+    # distinct per-axis foreground extents: [7,41) x [3,50) x [11,29)
+    vol[7:41, 3:50, 11:29] = 1.0
+    ops = _device_area_ops(jnp.asarray(vol), (n_real,) * 3, (n_out,) * 3)
+    for m, (s, e) in zip(ops, [(7, 41), (3, 50), (11, 29)]):
+        ref = area_axis_operator(n_pad, s, e, n_out)
+        np.testing.assert_array_equal(np.asarray(m), ref)
+    # empty foreground -> full real axis [0, n_real)
+    ops = _device_area_ops(
+        jnp.zeros((n_pad,) * 3), (n_real,) * 3, (n_out,) * 3
+    )
+    for m in ops:
+        ref = area_axis_operator(n_pad, 0, n_real, n_out)
+        np.testing.assert_array_equal(np.asarray(m), ref)
+
+
 @pytest.mark.parametrize("in_chans", [1, 3])
 def test_device_preprocess_matches_scipy(tmp_path, in_chans):
     """On-device preprocessing (cubic resample + crop + area resize + window
