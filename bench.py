@@ -71,7 +71,12 @@ def _flagship_config():
     # A/B experiment overrides: `--set KEY VALUE [KEY VALUE ...]`
     if "--set" in sys.argv:
         pairs = sys.argv[sys.argv.index("--set") + 1 :]
-        pairs = pairs[: len(pairs) // 2 * 2]
+        for stop, tok in enumerate(pairs):  # other flags end the pair list
+            if tok.startswith("--"):
+                pairs = pairs[:stop]
+                break
+        if len(pairs) % 2:
+            raise SystemExit(f"--set needs KEY VALUE pairs, got {pairs}")
         cfg.merge_from_list(pairs)
     return cfg
 
@@ -194,8 +199,16 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
             loader.set_epoch(0)
             for _ in loader:  # warm the page cache / pool
                 pass
+            # Time MULTIPLE epochs: the pool's cross-epoch lookahead means a
+            # single epoch can be served partly from batches prefetched
+            # before the clock starts (one round measured 431 vol/s on a
+            # 1-core host that way); a 3-epoch window amortizes the
+            # pre-buffered head into the steady-state rate.
             th0 = time.perf_counter()
-            host_batches = sum(1 for _ in loader)
+            host_batches = 0
+            for ep in range(1, 4):
+                loader.set_epoch(ep)
+                host_batches += sum(1 for _ in loader)
             host_rates[workers] = round(
                 host_batches * batch / (time.perf_counter() - th0), 1
             )

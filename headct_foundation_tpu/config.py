@@ -323,7 +323,10 @@ def _default_config() -> CfgNode:
     # Pallas/XLA attention crossover: sequences shorter than this use XLA's
     # fused attention (the per-(b,h)-program Pallas kernels are launch-bound
     # at tiny T; measured crossover between 129 and 513 tokens).
-    _C.PARALLEL.PALLAS_MIN_T = 192
+    # Precedence: explicit config/--opts > HEADCT_PALLAS_MIN_T env > 192
+    # (the env seeds the default here so training runs honor it too — the
+    # engines install the config value via set_pallas_min_t).
+    _C.PARALLEL.PALLAS_MIN_T = int(os.environ.get("HEADCT_PALLAS_MIN_T", "192"))
 
     # Logging settings (reference: config.py:142-144)
     _C.LOG = CfgNode()

@@ -95,12 +95,17 @@ class PackedShardReader:
                 idx = json.load(f)
             meta = idx["meta"]
             shape = tuple(meta["shape"])
+            dtype = np.dtype(meta.get("dtype", "float16"))
             if self.shape is None:
                 self.shape = shape
-                self.dtype = np.dtype(meta.get("dtype", "float16"))
+                self.dtype = dtype
             elif shape != self.shape:
                 raise ValueError(
                     f"packed cache shape mismatch: {shape} vs {self.shape} ({ip})"
+                )
+            elif dtype != self.dtype:
+                raise ValueError(
+                    f"packed cache dtype mismatch: {dtype} vs {self.dtype} ({ip})"
                 )
             self._shard_counts.update(meta["shard_counts"])
             for key, ent in idx["entries"].items():
@@ -148,6 +153,11 @@ class PackedCacheWriter:
     Volumes stream to ``pack_<tag><i>.bin`` in fixed-size shards; ``close``
     writes ``pack_index<tag>.json`` atomically. Rank-parallel builds pass a
     distinct ``tag`` per process and readers merge the indices.
+
+    Re-opening over an existing same-tag index is an INCREMENTAL build: the
+    old entries are carried into the new index, old shard files are never
+    reopened or truncated (a concurrent reader may be serving memmapped
+    pages from them), and new volumes land in fresh shard files.
     """
 
     def __init__(
@@ -158,6 +168,8 @@ class PackedCacheWriter:
         tag: str = "",
         dtype=np.float16,
     ):
+        import json
+
         os.makedirs(cache_dir, exist_ok=True)
         self.cache_dir = cache_dir
         self.shape = tuple(shape)
@@ -170,13 +182,36 @@ class PackedCacheWriter:
         self._slot = volumes_per_shard  # force a new shard on first add
         self._fh = None
         self._cur_name = ""
+        prev = os.path.join(cache_dir, f"pack_index{tag}.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                idx = json.load(f)
+            meta = idx["meta"]
+            if tuple(meta["shape"]) != self.shape:
+                raise ValueError(
+                    f"existing packed index shape {meta['shape']} != {shape}"
+                )
+            if np.dtype(meta.get("dtype", "float16")) != self.dtype:
+                raise ValueError(
+                    f"existing packed index dtype {meta.get('dtype')} != "
+                    f"{self.dtype.name}"
+                )
+            self.entries = {
+                k: (v[0], int(v[1])) for k, v in idx["entries"].items()
+            }
+            self.shard_counts = dict(meta["shard_counts"])
 
     def _roll(self) -> None:
         if self._fh is not None:
             self._fh.close()
-        self._shard_idx += 1
-        self._cur_name = f"pack_{self.tag}{self._shard_idx:05d}.bin"
-        self._fh = open(os.path.join(self.cache_dir, self._cur_name), "wb")
+        while True:
+            self._shard_idx += 1
+            self._cur_name = f"pack_{self.tag}{self._shard_idx:05d}.bin"
+            path = os.path.join(self.cache_dir, self._cur_name)
+            if not os.path.exists(path):
+                break
+        # exclusive create: NEVER truncate a shard a reader may be mmapping
+        self._fh = open(path, "xb")
         self._slot = 0
 
     def add(self, key: str, vol: np.ndarray) -> None:

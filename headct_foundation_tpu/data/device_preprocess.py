@@ -102,11 +102,16 @@ def _device_area_ops(out: jax.Array, n_reals, roi):
     scan — the dominant per-scan latency on a remote-attached chip.
 
     Bbox semantics match ``MONAI CropForeground`` defaults exactly
-    (select_fn x > 0, margin 0; empty foreground -> full axis [0, n_real))."""
+    (select_fn x > 0, margin 0; empty foreground -> full axis [0, n_real)).
+
+    ``n_reals`` (the un-padded resampled lengths) is a TRACED int32 [3]
+    operand, not a static: real datasets have continuously varying scan
+    geometries, and only the 128-bucketed shapes may enter the jit
+    signature or every scan would recompile."""
     fg = out > 0
     ops = []
     for axis in range(3):
-        n_real, n_out = int(n_reals[axis]), int(roi[axis])
+        n_real, n_out = n_reals[axis], int(roi[axis])
         reduce_axes = tuple(i for i in range(3) if i != axis)
         f = jnp.any(fg, axis=reduce_axes)  # [n_pad] incl. inert zero padding
         n_pad = f.shape[0]
@@ -125,7 +130,7 @@ def _device_area_ops(out: jax.Array, n_reals, roi):
     return ops
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def _fused_preprocess(vol, mh, mw, md, n_reals, roi, in_channels, order):
     """Padded raw [H, W, D] -> windowed [C, *roi] in ONE dispatch:
 
@@ -245,6 +250,6 @@ class DevicePreprocessor:
         vox = np.linalg.norm(affine[:3, :3], axis=0)
         padded, (mh, mw, md), outs = self._ship(data, vox)
         return _fused_preprocess(
-            padded, mh, mw, md, tuple(outs), self.roi, self.in_channels,
-            self.order,
+            padded, mh, mw, md, np.asarray(outs, np.int32), self.roi,
+            self.in_channels, self.order,
         )

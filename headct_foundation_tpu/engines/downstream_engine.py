@@ -395,15 +395,12 @@ def _drain_step_outputs(pending, logger, on_row) -> None:
             for (l, p, t), (_, _, _, n, idx) in zip(fetched, pending)
         ]
     else:
-        # multi-host: only the addressable shards can be read back
+        # multi-host: only the addressable shards can be read back; the
+        # replicated scalar losses still batch into one device_get call
+        losses = jax.device_get([l for l, _, _, _, _ in pending])
         rows = [
-            (
-                float(jax.device_get(l)),
-                _local_rows(p, n),
-                _local_rows(t, n),
-                idx,
-            )
-            for l, p, t, n, idx in pending
+            (float(l), _local_rows(p, n), _local_rows(t, n), idx)
+            for l, (_, p, t, n, idx) in zip(losses, pending)
         ]
     pending.clear()
     for loss, probs, targets, idx in rows:

@@ -310,6 +310,49 @@ def test_packed_cache_roundtrip(tmp_path):
     assert not [f for f in os.listdir(packed_dir) if f.endswith(".npy")]
 
 
+def test_packed_cache_incremental_rebuild(tmp_path):
+    """Re-opening a PackedCacheWriter over an existing same-tag index is an
+    incremental build: old entries carry into the new index, old shard
+    FILES are never reopened/truncated (a live reader may be serving
+    memmapped pages from them), and new volumes land in fresh shards."""
+    import hashlib
+
+    from headct_foundation_tpu.data.datasets import (
+        PackedCacheWriter, PackedShardReader,
+    )
+
+    shape = (1, 4, 4, 4)
+    rng = np.random.RandomState(3)
+    vols = {f"k{i}": rng.rand(*shape).astype(np.float16) for i in range(5)}
+    with PackedCacheWriter(str(tmp_path), shape, volumes_per_shard=2) as w:
+        for k in ("k0", "k1", "k2"):
+            w.add(k, vols[k])
+    old_bins = {
+        f: hashlib.sha1((tmp_path / f).read_bytes()).hexdigest()
+        for f in os.listdir(tmp_path) if f.endswith(".bin")
+    }
+    # a reader holding memmaps open across the rebuild (the crash scenario)
+    live = PackedShardReader.open(str(tmp_path))
+    live.get("k0")
+
+    with PackedCacheWriter(str(tmp_path), shape, volumes_per_shard=2) as w:
+        assert set(w.entries) == {"k0", "k1", "k2"}  # carried over
+        for k in ("k3", "k4"):
+            w.add(k, vols[k])
+
+    for f, digest in old_bins.items():  # old shards bit-identical
+        assert hashlib.sha1((tmp_path / f).read_bytes()).hexdigest() == digest
+    reader = PackedShardReader.open(str(tmp_path))
+    assert len(reader) == 5
+    for k, v in vols.items():
+        np.testing.assert_array_equal(np.asarray(reader.get(k)), v)
+    np.testing.assert_array_equal(np.asarray(live.get("k1")), vols["k1"])
+
+    # dtype divergence fails loudly on reopen
+    with pytest.raises(ValueError, match="dtype"):
+        PackedCacheWriter(str(tmp_path), shape, dtype=np.float32)
+
+
 def test_packed_cache_multi_tag_merge(tmp_path):
     """Rank-tagged shard series (parallel builds) merge at read time."""
     from headct_foundation_tpu.data.datasets import (

@@ -61,17 +61,40 @@ def test_device_area_ops_match_host_operator():
     vol = np.zeros((n_pad, n_pad, n_pad), np.float32)
     # distinct per-axis foreground extents: [7,41) x [3,50) x [11,29)
     vol[7:41, 3:50, 11:29] = 1.0
-    ops = _device_area_ops(jnp.asarray(vol), (n_real,) * 3, (n_out,) * 3)
+    n_reals = jnp.asarray([n_real] * 3, jnp.int32)  # traced in production
+    ops = _device_area_ops(jnp.asarray(vol), n_reals, (n_out,) * 3)
     for m, (s, e) in zip(ops, [(7, 41), (3, 50), (11, 29)]):
         ref = area_axis_operator(n_pad, s, e, n_out)
         np.testing.assert_array_equal(np.asarray(m), ref)
     # empty foreground -> full real axis [0, n_real)
-    ops = _device_area_ops(
-        jnp.zeros((n_pad,) * 3), (n_real,) * 3, (n_out,) * 3
-    )
+    ops = _device_area_ops(jnp.zeros((n_pad,) * 3), n_reals, (n_out,) * 3)
     for m in ops:
         ref = area_axis_operator(n_pad, 0, n_real, n_out)
         np.testing.assert_array_equal(np.asarray(m), ref)
+
+
+def test_device_preprocess_one_compile_per_bucket(tmp_path):
+    """Scans of different real geometry inside the same 128-bucket must
+    share ONE compiled program: n_reals is a traced operand, so only the
+    bucket-padded shapes enter the jit signature (real datasets vary
+    continuously — a compile per geometry would dwarf the fused-dispatch
+    win)."""
+    from headct_foundation_tpu.data.device_preprocess import (
+        DevicePreprocessor, _fused_preprocess,
+    )
+
+    dp = DevicePreprocessor((24, 24, 24), 3)
+    rng = np.random.RandomState(5)
+    before = _fused_preprocess._cache_size()
+    for i, (shape, vox) in enumerate(
+        [((40, 36, 28), (1.5, 1.25, 2.0)), ((37, 41, 25), (1.4, 1.3, 2.1))]
+    ):
+        vol = (rng.rand(*shape) * 2000 - 1000).astype(np.float32)
+        p = str(tmp_path / f"s{i}.nii.gz")
+        save_nifti(p, vol, np.diag(vox + (1.0,)))
+        out = np.asarray(dp(p))
+        assert out.shape == (3, 24, 24, 24) and np.isfinite(out).all()
+    assert _fused_preprocess._cache_size() - before <= 1
 
 
 @pytest.mark.parametrize("in_chans", [1, 3])

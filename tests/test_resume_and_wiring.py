@@ -268,9 +268,12 @@ def test_async_checkpoint_error_surfaces(tmp_path):
         params = {"w": jnp.zeros((2,))}
         opt_state = {}
 
-    target = tmp_path / "dir_is_file"
-    target.write_text("x")  # makedirs succeeds (exists) but open() under it fails
+    # The failure must happen INSIDE the writer thread (the open() of the
+    # tmp file — filename points into a subdir that doesn't exist), not
+    # synchronously in save_checkpoint: submission succeeds, and the error
+    # surfaces on the next wait_for_saves().
+    save_checkpoint(S(), 0, 0.0, str(tmp_path / "ok"),
+                    "missing_subdir/a.ckpt", async_save=True)
     with _pytest.raises(Exception):
-        save_checkpoint(S(), 0, 0.0, str(target / "sub"), "a.ckpt",
-                        async_save=True)
         wait_for_saves()
+    wait_for_saves()  # error is cleared after being raised once

@@ -80,6 +80,12 @@ def main() -> None:
             args.cache_dir, (args.in_chans,) + (args.roi,) * 3,
             volumes_per_shard=args.volumes_per_shard, tag=tag,
         )
+        # incremental rebuild: entries carried over from an existing
+        # same-tag index are already packed — don't re-copy them
+        before = len(paths)
+        paths = [p for p in paths if cache._key(p) not in packer.entries]
+        if before != len(paths):
+            print(f"skipping {before - len(paths)} already-packed volumes")
 
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
         for path, vol in pool.map(_one, paths):
