@@ -18,7 +18,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from headct_foundation_tpu.models.layers import trunc_normal_init
+from headct_foundation_tpu.models.layers import TorchBatchNorm, trunc_normal_init
 from headct_foundation_tpu.ops.attention import dot_product_attention
 
 
@@ -31,7 +31,7 @@ class LinearClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=use_running_average,
             momentum=0.9,
             epsilon=1e-6,
@@ -72,7 +72,7 @@ class AttentionClassifier(nn.Module):
 
         # BatchNorm over the channel axis with stats over (batch, tokens)
         # — equivalent to the reference's BatchNorm1d on [B, C, N].
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=use_running_average,
             momentum=0.9,
             epsilon=1e-6,
@@ -98,7 +98,7 @@ class AttentionClassifier(nn.Module):
         attn_out = dot_product_attention(q * scale, k, v)  # default scale 1/sqrt(D)
         x_cls = attn_out.reshape(B, self.num_queries, C)
 
-        x_cls = nn.BatchNorm(
+        x_cls = TorchBatchNorm(
             use_running_average=use_running_average,
             momentum=0.9,
             epsilon=1e-6,

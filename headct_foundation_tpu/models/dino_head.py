@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from headct_foundation_tpu.models.attention import _gelu
-from headct_foundation_tpu.models.layers import trunc_normal_init
+from headct_foundation_tpu.models.layers import TorchBatchNorm, trunc_normal_init
 
 
 class WeightNormDense(nn.Module):
@@ -64,7 +64,7 @@ class DINOHead(nn.Module):
         else:
             x = nn.Dense(self.hidden_dim, name="mlp_0", **dense_kwargs)(x)
             if self.use_bn:
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=use_running_average,
                     momentum=0.9,
                     epsilon=1e-5,
@@ -75,7 +75,7 @@ class DINOHead(nn.Module):
             for i in range(nlayers - 2):
                 x = nn.Dense(self.hidden_dim, name=f"mlp_{i + 1}", **dense_kwargs)(x)
                 if self.use_bn:
-                    x = nn.BatchNorm(
+                    x = TorchBatchNorm(
                         use_running_average=use_running_average,
                         momentum=0.9,
                         epsilon=1e-5,

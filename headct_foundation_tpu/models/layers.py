@@ -47,6 +47,70 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype) * scale.astype(orig_dtype) + bias.astype(orig_dtype)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch running-statistics semantics.
+
+    ``flax.linen.BatchNorm`` stores the BIASED batch variance into the
+    running ``var``; torch's ``BatchNorm*d`` normalizes with the biased
+    variance but stores the UNBIASED (Bessel-corrected, n/(n-1)) one. The
+    reference's BN layers are torch modules (reference:
+    src/models/classifier.py:18, src/models/dino_head.py:17-22), so eval-time
+    parity of self-trained classifiers requires the torch update rule.
+    Interface and variable layout (``batch_stats`` {mean, var}; params
+    {scale, bias}) match the ``nn.BatchNorm`` subset this repo uses, so
+    torch_interop mappings are unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_bias: bool = True
+    use_scale: bool = True
+    dtype: jnp.dtype | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        features = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (features,), jnp.float32
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (features,), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            n = 1
+            for a in reduce_axes:
+                n *= x.shape[a]
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                # torch F.batch_norm: running_var gets the unbiased estimate
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 def make_norm(norm_layer: str, dim: int, eps: float = 1e-5, name: str | None = None) -> nn.Module:
     """Build a norm module from a config string ('layernorm' | 'rmsnorm')."""
     norm_layer = norm_layer.lower()

@@ -273,3 +273,45 @@ def test_mae_loss_dtype_bfloat16_close_to_f32():
     for npx in (False, True):
         f32, bf16 = losses[("float32", npx)], losses[("bfloat16", npx)]
         assert abs(f32 - bf16) / max(abs(f32), 1e-6) < 2e-2, (f32, bf16)
+
+
+def test_torch_batchnorm_matches_torch_semantics():
+    """TorchBatchNorm: torch normalizes with the BIASED batch variance but
+    stores the UNBIASED (Bessel-corrected) one into running_var — flax's
+    nn.BatchNorm stores the biased one, which would skew eval-time outputs of
+    self-trained classifiers by n/(n-1) (reference BN modules:
+    src/models/classifier.py:18, src/models/dino_head.py:17-22)."""
+    import torch
+
+    from headct_foundation_tpu.models.layers import TorchBatchNorm
+
+    rs = np.random.RandomState(0)
+    for shape in [(8, 16), (3, 10, 16)]:  # 2D and token-sequence inputs
+        x = rs.randn(*shape).astype(np.float32)
+        m = TorchBatchNorm(use_running_average=False, momentum=0.9,
+                           epsilon=1e-6, use_bias=False, use_scale=False)
+        v = m.init(KEY, jnp.asarray(x))
+        tbn = torch.nn.BatchNorm1d(16, affine=False, eps=1e-6)
+        tbn.train()
+        tx = torch.from_numpy(x if x.ndim == 2 else x.transpose(0, 2, 1))
+        ty = tbn(tx).detach().numpy()
+        ty = ty if x.ndim == 2 else ty.transpose(0, 2, 1)
+        y, upd = m.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y), ty, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["mean"]), tbn.running_mean.numpy(),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(  # the unbiased update rule
+            np.asarray(upd["batch_stats"]["var"]), tbn.running_var.numpy(),
+            atol=1e-5, rtol=1e-5,
+        )
+        tbn.eval()
+        ty_e = tbn(tx).detach().numpy()
+        ty_e = ty_e if x.ndim == 2 else ty_e.transpose(0, 2, 1)
+        m2 = TorchBatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-6, use_bias=False, use_scale=False)
+        y_e = m2.apply(
+            {"params": {}, "batch_stats": upd["batch_stats"]}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(y_e), ty_e, atol=2e-5)
