@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -71,8 +72,6 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import jax
-
         features = x.shape[-1]
         reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable(
@@ -90,10 +89,20 @@ class TorchBatchNorm(nn.Module):
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
-            if self.axis_name is not None:
+            # flax's nn.BatchNorm also skips the cross-replica sync while
+            # initializing (no named axis is bound during init).
+            if self.axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
                 n = n * jax.lax.psum(1, self.axis_name)
+            elif n <= 1 and not self.is_initializing():
+                # torch raises "Expected more than 1 value per channel when
+                # training" here; a silent n=1 step would zero the variance
+                # and decay running_var toward 0.
+                raise ValueError(
+                    "TorchBatchNorm in train mode needs >1 value per channel; "
+                    f"got reduce count {n} for input shape {x.shape}"
+                )
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch F.batch_norm: running_var gets the unbiased estimate

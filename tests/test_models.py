@@ -315,3 +315,20 @@ def test_torch_batchnorm_matches_torch_semantics():
             {"params": {}, "batch_stats": upd["batch_stats"]}, jnp.asarray(x)
         )
         np.testing.assert_allclose(np.asarray(y_e), ty_e, atol=2e-5)
+
+
+def test_torch_batchnorm_guards():
+    """Train-mode n==1 raises like torch ('Expected more than 1 value per
+    channel'); init with axis_name set must NOT trace collectives (flax's
+    nn.BatchNorm skips the sync while initializing)."""
+    from headct_foundation_tpu.models.layers import TorchBatchNorm
+
+    m = TorchBatchNorm(use_running_average=False)
+    v1 = m.init(KEY, jnp.ones((1, 16)))  # shape-only init is allowed
+    with pytest.raises(ValueError, match="1 value per channel"):
+        m.apply(v1, jnp.ones((1, 16)), mutable=["batch_stats"])
+
+    # init outside any named-axis context succeeds even with axis_name set
+    m2 = TorchBatchNorm(use_running_average=False, axis_name="data")
+    v = m2.init(KEY, jnp.ones((4, 16)))
+    assert set(v["batch_stats"]) == {"mean", "var"}
