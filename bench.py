@@ -388,7 +388,38 @@ def feature_throughput() -> None:
     )
 
 
+def _bounded_first_contact(deadline_s: float = 900.0) -> None:
+    """Bound the first device contact so an unreachable remote-TPU relay
+    cannot hang the bench forever (the relay's availability varies; a dead
+    tunnel turns ``jax.devices()`` into an indefinite reconnect loop). On
+    timeout, emit a diagnostic JSON line and exit nonzero so the driver
+    records the failure instead of stalling."""
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline_s):
+            print(json.dumps({
+                "metric": "volumes/sec/chip (MAE pretrain, full step)",
+                "value": None,
+                "unit": "volumes/s/chip",
+                "vs_baseline": None,
+                "error": f"device backend unreachable after {deadline_s:.0f}s",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    try:
+        jax.devices()
+        x = jnp.ones((8, 8))
+        jax.block_until_ready(x @ x)
+    finally:
+        done.set()
+
+
 if __name__ == "__main__":
+    _bounded_first_contact()
     if "--feature-latency" in sys.argv:
         feature_latency()
     elif "--feature-throughput" in sys.argv:
