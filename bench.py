@@ -398,12 +398,24 @@ def _bounded_first_contact(deadline_s: float = 900.0) -> None:
 
     done = threading.Event()
 
+    # label the failure with the metric this invocation would have produced
+    if "--feature-latency" in sys.argv:
+        metric, unit = "feature-extraction p50 latency", "ms/scan"
+    elif "--feature-throughput" in sys.argv:
+        metric, unit = "feature-extraction throughput (batched)", "scans/s"
+    elif "--with-loader" in sys.argv:
+        metric, unit = ("volumes/sec/chip (MAE pretrain, loader-in-the-loop)",
+                        "volumes/s/chip")
+    else:
+        metric, unit = ("volumes/sec/chip (MAE pretrain, full step)",
+                        "volumes/s/chip")
+
     def _watch():
         if not done.wait(deadline_s):
             print(json.dumps({
-                "metric": "volumes/sec/chip (MAE pretrain, full step)",
+                "metric": metric,
                 "value": None,
-                "unit": "volumes/s/chip",
+                "unit": unit,
                 "vs_baseline": None,
                 "error": f"device backend unreachable after {deadline_s:.0f}s",
             }), flush=True)

@@ -24,6 +24,7 @@ Augmentation is NOT applied here: per-step random augs run on device
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import queue
 import threading
@@ -77,7 +78,11 @@ class PackedShardReader:
     while shard pages are served straight from the OS page cache.
 
     Multiple index files merge (rank-tagged parallel builds); later files
-    win on key collisions.
+    win on key collisions. Index files with DIFFERENT geometries (shape or
+    dtype) coexist — each shard file is memmapped with the geometry its own
+    index recorded, so one cache dir can hold packed builds for e.g. 96^3
+    3-channel pretrain volumes next to 1-channel downstream ones (cache
+    keys already encode roi/channels/backend, so lookups never cross over).
     """
 
     def __init__(self, cache_dir: str, index_paths: Sequence[str]):
@@ -85,9 +90,10 @@ class PackedShardReader:
 
         self.cache_dir = cache_dir
         self.entries: Dict[str, Tuple[str, int]] = {}
-        self.shape: Optional[Tuple[int, ...]] = None
-        self.dtype = np.float16
-        self._shard_counts: Dict[str, int] = {}
+        # per-shard geometry: name -> (count, shape, dtype); later index
+        # files win if a shard name ever collides (rank tags make that a
+        # same-build re-merge, not a conflict)
+        self._shard_meta: Dict[str, Tuple[int, Tuple[int, ...], np.dtype]] = {}
         self._shards: Dict[str, np.memmap] = {}
         self._lock = threading.Lock()
         for ip in index_paths:
@@ -96,18 +102,8 @@ class PackedShardReader:
             meta = idx["meta"]
             shape = tuple(meta["shape"])
             dtype = np.dtype(meta.get("dtype", "float16"))
-            if self.shape is None:
-                self.shape = shape
-                self.dtype = dtype
-            elif shape != self.shape:
-                raise ValueError(
-                    f"packed cache shape mismatch: {shape} vs {self.shape} ({ip})"
-                )
-            elif dtype != self.dtype:
-                raise ValueError(
-                    f"packed cache dtype mismatch: {dtype} vs {self.dtype} ({ip})"
-                )
-            self._shard_counts.update(meta["shard_counts"])
+            for name, count in meta["shard_counts"].items():
+                self._shard_meta[name] = (int(count), shape, dtype)
             for key, ent in idx["entries"].items():
                 self.entries[key] = (ent[0], int(ent[1]))
 
@@ -128,10 +124,10 @@ class PackedShardReader:
             with self._lock:
                 mm = self._shards.get(name)
                 if mm is None:
-                    count = self._shard_counts[name]
+                    count, shape, dtype = self._shard_meta[name]
                     mm = np.memmap(
-                        os.path.join(self.cache_dir, name), dtype=self.dtype,
-                        mode="r", shape=(count,) + tuple(self.shape),
+                        os.path.join(self.cache_dir, name), dtype=dtype,
+                        mode="r", shape=(count,) + tuple(shape),
                     )
                     self._shards[name] = mm
         return mm
@@ -330,7 +326,17 @@ class DiskCache:
         if self.cache_dir:
             key = self._key(path)
             if self._packed is False:  # probe once (thread-safe: idempotent)
-                self._packed = PackedShardReader.open(self.cache_dir)
+                try:
+                    self._packed = PackedShardReader.open(self.cache_dir)
+                except Exception as e:  # corrupt/partial index: a raise here
+                    # would be swallowed by the datasets' error shielding and
+                    # turn EVERY item into a zero placeholder — disable the
+                    # packed path loudly and fall through to .npy/preprocess
+                    logging.getLogger(__name__).warning(
+                        "packed cache index unreadable in %s (%s); "
+                        "falling back to per-volume .npy", self.cache_dir, e,
+                    )
+                    self._packed = None
             if self._packed is not None:
                 vol = self._packed.get(key)
                 if vol is not None:

@@ -200,7 +200,8 @@ def _features(state, params, batch, kind):
     return tokens  # full sequence for attentive classifier
 
 
-def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
+def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None,
+                    compute_dtype=jnp.bfloat16):
     from headct_foundation_tpu.ops.attention import attention_mesh
 
     kind = config.TRAIN.CLASSIFIER
@@ -208,7 +209,10 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
 
     def train_step(state: DownstreamTrainState, batch, target, rng):
         step_rng = jax.random.fold_in(rng, state.step)
-        batch = vit_augment(step_rng, batch)
+        # augment on the fp16 wire dtype, then compute in compute_dtype
+        # (same contract as mae_engine: fp16 over H2D, bf16 on device;
+        # float32 for the torch-twin oracle)
+        batch = vit_augment(step_rng, batch).astype(compute_dtype)
 
         def loss_fn(params):
             feats = _features(state, params, batch, kind)
@@ -252,12 +256,13 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None):
     )
 
 
-def make_eval_step(config, mesh: Mesh):
+def make_eval_step(config, mesh: Mesh, compute_dtype=jnp.bfloat16):
     from headct_foundation_tpu.ops.attention import attention_mesh
 
     kind = config.TRAIN.CLASSIFIER
 
     def eval_step(state: DownstreamTrainState, batch, target):
+        batch = batch.astype(compute_dtype)  # fp16 wire -> bf16 compute
         feats = _features(state, state.params, batch, kind)
         logits = state.classifier_apply(
             {"params": state.params["classifier"],
@@ -371,21 +376,25 @@ def _wrap_loader(loader, mesh):
     """DevicePrefetcher over (vols, targets, fnames) batches: volumes AND
     integer targets land sharded on device in the producer thread (H2D rides
     under compute, mirroring the MAE loop); fnames pass through on host and
-    the real pre-padding local batch size is appended."""
+    the real pre-padding local batch size is appended. Volumes cross the
+    wire in their fp16 storage dtype (half the H2D bytes — the jitted steps
+    cast to bfloat16 on device, like the MAE loop)."""
     from headct_foundation_tpu.data.pipeline import DevicePrefetcher
 
     return DevicePrefetcher.wrap(
-        loader, mesh, dtype=np.float32, with_counts=True,
-        extra_fields=((1, np.int32),),
+        loader, mesh, with_counts=True, extra_fields=((1, np.int32),),
     )
 
 
-def _drain_step_outputs(pending, logger, on_row) -> None:
+def _drain_step_outputs(pending, logger, on_row, abort_on_nonfinite=True) -> None:
     """Fetch all pending (loss, probs, targets, n_real, idx) device values in
-    ONE batched transfer, hard-abort on non-finite loss (reference:
-    engine_downstream.py:118-120), and feed host rows to ``on_row``. Every
-    value fetch is a host<->device RTT, so per-step fetching would serialize
-    RTTs into the step time (see mae_engine.train_one_epoch)."""
+    ONE batched transfer, hard-abort on non-finite TRAIN loss (reference:
+    engine_downstream.py:118-120 — a train-loop-only guard; validation and
+    the tester record the loss and continue, so a degenerate eval batch
+    cannot kill the best-checkpoint save or the preds pickle), and feed host
+    rows to ``on_row``. Every value fetch is a host<->device RTT, so
+    per-step fetching would serialize RTTs into the step time (see
+    mae_engine.train_one_epoch)."""
     if not pending:
         return
     if jax.process_count() == 1:
@@ -404,7 +413,7 @@ def _drain_step_outputs(pending, logger, on_row) -> None:
         ]
     pending.clear()
     for loss, probs, targets, idx in rows:
-        if not math.isfinite(loss):
+        if abort_on_nonfinite and not math.isfinite(loss):
             if logger:
                 logger.info(f"Loss is {loss}, stopping training")
             sys.exit(1)
@@ -479,8 +488,9 @@ def val_one_epoch(
         all_fnames.extend(fnames)
         pending.append((metrics["loss"], metrics["probs"], tgt, n_real, idx))
         if len(pending) >= LOSS_FLUSH:
-            _drain_step_outputs(pending, logger, _on_row)
-    _drain_step_outputs(pending, logger, _on_row)
+            _drain_step_outputs(pending, logger, _on_row,
+                                abort_on_nonfinite=False)
+    _drain_step_outputs(pending, logger, _on_row, abort_on_nonfinite=False)
     stats: Dict[str, Any] = metric_logger.averages()
     if all_probs:
         probs = np.concatenate(all_probs)

@@ -298,7 +298,7 @@ def test_packed_cache_roundtrip(tmp_path):
 
     reader = PackedShardReader.open(packed_dir)
     assert reader is not None and len(reader) == 5
-    assert len(reader._shard_counts) == 3  # 2+2+1 across three shards
+    assert len(reader._shard_meta) == 3  # 2+2+1 across three shards
     for p in paths:
         np.testing.assert_array_equal(np.asarray(reader.get(cache._key(p))), vols[p])
 
@@ -372,6 +372,47 @@ def test_packed_cache_multi_tag_merge(tmp_path):
     assert len(reader) == 6
     for k, v in expect.items():
         np.testing.assert_array_equal(np.asarray(reader.get(k)), v)
+
+
+def test_packed_cache_mixed_geometries(tmp_path):
+    """One cache dir holding packed builds with DIFFERENT shapes/dtypes
+    (e.g. 3-channel pretrain next to 1-channel downstream volumes) serves
+    both: each shard is memmapped with its own index's geometry. Regression:
+    this used to raise 'packed cache shape mismatch' on EVERY load, which
+    dataset error-shielding silently turned into zero placeholders."""
+    from headct_foundation_tpu.data.datasets import (
+        DiskCache, PackedCacheWriter, PackedShardReader,
+    )
+
+    rng = np.random.RandomState(0)
+    a_shape, b_shape = (3, 4, 4, 4), (1, 6, 6, 6)
+    a = {f"a{i}": rng.rand(*a_shape).astype(np.float16) for i in range(3)}
+    b = {f"b{i}": rng.rand(*b_shape).astype(np.float32) for i in range(2)}
+    with PackedCacheWriter(str(tmp_path), a_shape, 2, tag="a_") as w:
+        for k, v in a.items():
+            w.add(k, v)
+    with PackedCacheWriter(
+        str(tmp_path), b_shape, 2, tag="b_", dtype=np.float32
+    ) as w:
+        for k, v in b.items():
+            w.add(k, v)
+
+    reader = PackedShardReader.open(str(tmp_path))
+    assert len(reader) == 5
+    for k, v in {**a, **b}.items():
+        got = np.asarray(reader.get(k))
+        assert got.dtype == v.dtype
+        np.testing.assert_array_equal(got, v)
+
+    # a corrupt index file disables the packed path without poisoning loads
+    with open(tmp_path / "pack_indexzz.json", "w") as f:
+        f.write("{not json")
+    cache = DiskCache(str(tmp_path), (ROI,) * 3, 3)
+    with pytest.raises(Exception):
+        PackedShardReader.open(str(tmp_path))
+    paths = _make_scans(tmp_path, 1)
+    vol = cache.load(paths[0])  # falls back to preprocess + .npy, no raise
+    assert vol.shape == (3, ROI, ROI, ROI) and cache._packed is None
 
 
 def test_threaded_loader_from_packed_cache(tmp_path):

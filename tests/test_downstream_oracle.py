@@ -95,8 +95,12 @@ def _run_twin(lock: bool, monkeypatch, steps: int = 40, batch_size: int = 8):
         cfg, mesh, rng, total_steps=steps, num_warmup_steps=warmup,
         dtype=jnp.float32,
     )
-    step_fn = downstream_engine.make_train_step(cfg, mesh)
-    eval_fn = downstream_engine.make_eval_step(cfg, mesh)
+    step_fn = downstream_engine.make_train_step(
+        cfg, mesh, compute_dtype=jnp.float32
+    )
+    eval_fn = downstream_engine.make_eval_step(
+        cfg, mesh, compute_dtype=jnp.float32
+    )
 
     # ---- torch twin initialized from OUR parameters ----
     vit = tti.OracleViT(in_chans=1, img=24, patch=12, dim=48, mlp=96,
