@@ -555,6 +555,11 @@ def trainer(
                     save_checkpoint(
                         state, epoch, best_auroc, config.MODEL.DIR,
                         f"best_{save_name}", logger=logger,
+                        # classifier BN running stats ride along — without
+                        # them a RELOADED checkpoint would eval with fresh
+                        # mean/var (the reference's state_dict carries BN
+                        # buffers implicitly)
+                        extra={"batch_stats": state.batch_stats},
                         async_save=bool(config.TRAIN.ASYNC_CKPT),
                     )
     if hasattr(train_loader, "close"):

@@ -211,6 +211,13 @@ def restore_state(
                 opt_state,
             )
         )
+    # states that carry BatchNorm running stats (downstream classifier)
+    # restore them too — evaluating a reloaded model with fresh mean/var
+    # would silently change its predictions
+    if "batch_stats" in payload and hasattr(state, "batch_stats"):
+        new_state = new_state.replace(
+            batch_stats=_restore_tree(state.batch_stats, payload["batch_stats"])
+        )
     return new_state, payload.get("epoch", 0), payload.get("best_loss", float("inf"))
 
 

@@ -155,3 +155,59 @@ def test_dino_loss_starts_at_ln_k_and_descends():
     #    reference-semantics torch twin settle at the uniform ln(K) fixed
     #    point rather than diverging (adjudicated: test_trajectory_oracle).
     assert losses[-40:].mean() < ln_k + 0.2, losses[-40:].mean()
+
+
+@pytest.mark.slow
+def test_downstream_loss_descends_and_auroc_rises():
+    """Downstream fine-tune dynamics through the REAL epoch loop (dual-LR
+    AdamW with the classifier at 100x, batched output drains, metrics
+    gather): loss descends on synthetic separable volumes and the train
+    AUROC ends near-perfect — the one failure class (mis-routed per-group
+    LR, probs/targets misalignment in the drain) that single-step tests
+    cannot catch. Flagship-config counterpart: tools/trajectory.py
+    --engine downstream (trajectory_downstream.{json,png})."""
+    from headct_foundation_tpu.engines import downstream_engine
+    from tools.trajectory import SyntheticLabeledLoader, make_labeled_pool
+
+    cfg = default_config()
+    cfg.MODEL.ROI = [24, 24, 24]
+    cfg.MODEL.IN_CHANS = 1
+    cfg.VIT.INPUT_SIZE = 24
+    cfg.VIT.PATCH_SIZE = 12
+    cfg.VIT.IN_CHANS = 1
+    cfg.VIT.HIDDEN_SIZE = 48
+    cfg.VIT.MLP_DIM = 96
+    cfg.VIT.NUM_LAYERS = 2
+    cfg.VIT.NUM_HEADS = 4
+    cfg.VIT.USE_BIAS = True
+    cfg.DATA.NUM_CLASSES = 2
+    cfg.TRAIN.CLASSIFIER = "linear"
+    cfg.TRAIN.BASE_LR = 1e-4  # classifier trains at 1e-2 via the x100 rule
+    cfg.TRAIN.MIN_LR = 1e-7
+    cfg.TRAIN.GRAD_CLIP = 1.0
+
+    mesh = _mesh()
+    rng = jax.random.PRNGKey(2)
+    total = EPOCHS * STEPS
+    state, _, _ = downstream_engine.create_train_state(
+        cfg, mesh, rng, total_steps=total, num_warmup_steps=total // 20
+    )
+    train_step = downstream_engine.make_train_step(cfg, mesh)
+    pool, labels = make_labeled_pool(16, 1, 24)
+    loader = SyntheticLabeledLoader(pool, labels, BATCH, STEPS)
+    rec = RecordingRun()
+    aurocs = []
+    for epoch in range(EPOCHS):
+        loader.set_epoch(epoch)
+        state, stats = downstream_engine.train_one_epoch(
+            cfg, state, train_step, loader, mesh, rng, epoch, EPOCHS,
+            wandb_run=rec,
+        )
+        aurocs.append(float(stats["mean_auroc"]))
+    losses = np.asarray(rec.losses)
+    assert len(losses) == total
+    assert np.isfinite(losses).all()
+    head, tail = losses[:40].mean(), losses[-40:].mean()
+    assert tail < 0.7 * head, (head, tail)
+    assert aurocs[-1] > 0.9, aurocs
+    assert aurocs[-1] > aurocs[0] - 0.02, aurocs  # no late collapse

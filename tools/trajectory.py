@@ -16,9 +16,15 @@ What it checks (hard assertions unless --no-assert):
   teacher-momentum (reference's within-epoch idx quirk), per-iter weight
   decay, center EMA, last-layer cancel crossing its epoch boundary.
 
+* downstream: loss descends on synthetic separable volumes AND train AUROC
+  ends > 0.85 — the dual-LR (classifier x100) fine-tune actually learns the
+  planted lesion structure through the real epoch loop (batched output
+  drains, metrics gather, prefetcher).
+
 Usage (flagship configs, scaled-down batch):
   python tools/trajectory.py --engine mae  --epochs 10 --steps-per-epoch 30 --batch 16
   python tools/trajectory.py --engine dino --epochs 10 --steps-per-epoch 30 --batch 8
+  python tools/trajectory.py --engine downstream --epochs 10 --steps-per-epoch 25 --batch 8
 """
 
 from __future__ import annotations
@@ -81,6 +87,61 @@ def make_blob_pool(n: int, in_chans: int, roi: int, seed: int = 0) -> np.ndarray
     return pool
 
 
+def make_labeled_pool(n: int, in_chans: int, roi: int, seed: int = 0):
+    """Binary-classification pool: class-0 volumes are the plain blob pool;
+    class-1 volumes additionally carry a bright ellipsoid 'lesion' at a
+    jittered central location — a structure a fine-tuned backbone+classifier
+    must localize, so rising train AUROC is meaningful (not a batch-stat
+    artifact)."""
+    pool = make_blob_pool(n, in_chans, roi, seed=seed)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    rng = np.random.RandomState(seed + 1)
+    ax = np.arange(roi, dtype=np.float32)
+    for i in np.nonzero(labels)[0]:
+        c = roi / 2.0 + rng.uniform(-roi / 6, roi / 6, size=3)
+        r = roi / 5.0
+        d2 = (
+            (ax[:, None, None] - c[0]) ** 2
+            + (ax[None, :, None] - c[1]) ** 2
+            + (ax[None, None, :] - c[2]) ** 2
+        )
+        blob = np.exp(-d2 / (2 * r * r)).astype(np.float16)
+        pool[i] = np.clip(pool[i] + 0.6 * blob[None], 0.0, 1.0)
+    return pool, labels
+
+
+class SyntheticLabeledLoader:
+    """Downstream-loader contract: yields (volumes, targets, fnames)
+    batches; the engine's _wrap_loader appends the real batch count."""
+
+    def __init__(self, pool, labels, batch, steps, seed=0):
+        self.pool = pool
+        self.labels = labels
+        self.batch = batch
+        self.steps = steps
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return self.steps
+
+    def close(self) -> None:
+        pass
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self.epoch)
+        for _ in range(self.steps):
+            idx = rng.randint(0, len(self.pool), size=self.batch)
+            yield (
+                self.pool[idx],
+                self.labels[idx],
+                [f"synthetic_{j}" for j in idx],
+            )
+
+
 class RecordingRun:
     """wandb-run stand-in capturing the engines' per-step log calls."""
 
@@ -99,9 +160,11 @@ def _flagship(engine: str, repo_root: str):
     from headct_foundation_tpu.config import default_config
 
     cfg = default_config()
-    name = "configs/mae/mae_HeadCT.yaml" if engine == "mae" else (
-        "configs/dino/dino_HeadCT.yaml"
-    )
+    name = {
+        "mae": "configs/mae/mae_HeadCT.yaml",
+        "dino": "configs/dino/dino_HeadCT.yaml",
+        "downstream": "configs/downstream/vit_HeadCT_rsna.yaml",
+    }[engine]
     cfg.merge_from_file(os.path.join(repo_root, name))
     return cfg
 
@@ -152,6 +215,33 @@ def run_dino(cfg, mesh, epochs, steps, batch, rng, pool):
     return rec
 
 
+def run_downstream(cfg, mesh, epochs, steps, batch, rng, pool, labels):
+    """Fine-tune the flagship downstream recipe (random-init backbone,
+    dual-LR AdamW with the classifier at 100x — main_downstream.py /
+    reference engine_downstream.py semantics) on synthetic separable
+    volumes; records per-step loss and per-epoch train AUROC."""
+    from headct_foundation_tpu.engines import downstream_engine
+
+    total = epochs * steps
+    state, _, _ = downstream_engine.create_train_state(
+        cfg, mesh, rng, total_steps=total,
+        num_warmup_steps=int(cfg.TRAIN.PER_WARMUP * total),
+    )
+    train_step = downstream_engine.make_train_step(cfg, mesh)
+    loader = SyntheticLabeledLoader(pool, labels, batch, steps)
+    rec = RecordingRun()
+    aurocs = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        state, stats = downstream_engine.train_one_epoch(
+            cfg, state, train_step, loader, mesh, rng, epoch, epochs,
+            wandb_run=rec,
+        )
+        aurocs.append(float(stats.get("mean_auroc", float("nan"))))
+    rec.epoch_aurocs = aurocs
+    return rec
+
+
 def save_png(losses, path, title):
     import matplotlib
 
@@ -173,7 +263,8 @@ def save_png(losses, path, title):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["mae", "dino"], required=True)
+    ap.add_argument("--engine", choices=["mae", "dino", "downstream"],
+                    required=True)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--steps-per-epoch", type=int, default=30)
     ap.add_argument("--batch", type=int, default=16)
@@ -189,25 +280,32 @@ def main() -> None:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = _flagship(args.engine, repo_root)
-    # the mains' effective-LR rule (main_pretrain_{mae,dino}.py): scale the
-    # recipe LR by eff_batch/256 — at trajectory batch sizes this matters
-    # (running the batch-256 LR at batch 8 is 32x the recipe's step size and
-    # collapses DINO to the uniform ln(K) fixed point)
-    cfg.TRAIN.BASE_LR = cfg.TRAIN.BASE_LR * args.batch / 256
+    # the pretrain mains' effective-LR rule (main_pretrain_{mae,dino}.py):
+    # scale the recipe LR by eff_batch/256 — at trajectory batch sizes this
+    # matters (running the batch-256 LR at batch 8 is 32x the recipe's step
+    # size and collapses DINO to the uniform ln(K) fixed point). The
+    # downstream main keeps BASE_LR unscaled (main_downstream.py:91-94).
+    if args.engine != "downstream":
+        cfg.TRAIN.BASE_LR = cfg.TRAIN.BASE_LR * args.batch / 256
     cfg.TRAIN.MIN_LR = cfg.TRAIN.BASE_LR * 1e-3
     roi = cfg.MODEL.ROI[0]
     in_chans = cfg.MODEL.IN_CHANS
     mesh = make_mesh(data=len(jax.devices()))
     rng = jax.random.PRNGKey(cfg.SEED)
-    pool = make_blob_pool(args.pool, in_chans, roi)
 
     t0 = time.time()
     if args.engine == "mae":
+        pool = make_blob_pool(args.pool, in_chans, roi)
         rec = run_mae(cfg, mesh, args.epochs, args.steps_per_epoch,
                       args.batch, args.accum, rng, pool)
-    else:
+    elif args.engine == "dino":
+        pool = make_blob_pool(args.pool, in_chans, roi)
         rec = run_dino(cfg, mesh, args.epochs, args.steps_per_epoch,
                        args.batch, rng, pool)
+    else:
+        pool, labels = make_labeled_pool(args.pool, in_chans, roi)
+        rec = run_downstream(cfg, mesh, args.epochs, args.steps_per_epoch,
+                             args.batch, rng, pool, labels)
     wall = time.time() - t0
 
     losses = rec.losses
@@ -229,6 +327,8 @@ def main() -> None:
         "losses": [round(l, 5) for l in losses],
         "lrs": [float(l) for l in rec.lrs[:: max(1, n // 50)]],
     }
+    if getattr(rec, "epoch_aurocs", None) is not None:
+        summary["epoch_aurocs"] = [round(a, 4) for a in rec.epoch_aurocs]
     prefix = args.out_prefix or os.path.join(
         repo_root, f"trajectory_{args.engine}"
     )
@@ -246,6 +346,12 @@ def main() -> None:
         assert all(np.isfinite(losses)), "non-finite loss"
         if args.engine == "mae":
             assert tail < head, f"no descent: head={head:.4f} tail={tail:.4f}"
+        elif args.engine == "downstream":
+            assert tail < head, f"no descent: head={head:.4f} tail={tail:.4f}"
+            # the classifier must actually learn the lesion structure, not
+            # just shrink the loss: train AUROC ends well above chance
+            final_auroc = rec.epoch_aurocs[-1]
+            assert final_auroc > 0.85, f"final train AUROC {final_auroc:.3f}"
         else:
             # DINO at reference-scaled LR moves ~batch/256 as far per step as
             # the recipe run, so a few hundred steps show the reference
