@@ -131,10 +131,17 @@ bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out, std::stri
 // NIfTI-1 parsing
 // ---------------------------------------------------------------------------
 
-struct Nifti {
-    int shape[3];
+// Header-only parse: voxels stay in the inflated buffer and are converted /
+// reordered in ONE fused pass by fused_ras_extract below. (The previous
+// design ran four full-volume passes — dtype convert, Fortran->C transpose,
+// RAS permute, output memcpy — each allocating a volume-sized temporary;
+// on a 512x512x160 scan that was ~4x168 MB of traffic and dominated decode.)
+struct NiftiHeader {
+    int shape[3];            // disk dims, Fortran order (x fastest)
     double affine[3][4];
-    std::vector<float> data;  // Fortran order flattened to C index (x fastest)
+    int16_t datatype = 0;
+    float scl_slope = 1.0f, scl_inter = 0.0f;
+    size_t vox_offset = 0;
 };
 
 template <typename T>
@@ -144,7 +151,8 @@ T load_le(const uint8_t* p) {
     return v;
 }
 
-bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& img, std::string& err) {
+bool parse_nifti_header(const std::vector<uint8_t>& raw, NiftiHeader& img,
+                        std::string& err) {
     if (raw.size() < 352) { err = "file too small for NIfTI-1 header"; return false; }
     const uint8_t* h = raw.data();
     int32_t sizeof_hdr = load_le<int32_t>(h + 0);
@@ -204,59 +212,25 @@ bool parse_nifti(const std::vector<uint8_t>& raw, Nifti& img, std::string& err) 
         img.affine[2][2] = pixdim[3];
     }
 
-    // data (first 3D volume)
-    img.data.resize(n);
-    const uint8_t* p = raw.data() + vox_offset;
-    size_t avail = raw.size() - vox_offset;
-
-    auto need = [&](size_t bytes) {
-        if (avail < bytes) { err = "truncated voxel data"; return false; }
-        return true;
-    };
+    // storage info for the fused extraction pass (first 3D volume only —
+    // Fortran order puts it contiguously at vox_offset)
+    img.datatype = datatype;
+    img.scl_slope = scl_slope;
+    img.scl_inter = scl_inter;
+    img.vox_offset = static_cast<size_t>(vox_offset);
+    size_t esize;
     switch (datatype) {
-        case 2: {  // uint8
-            if (!need(n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = p[i];
-            break;
-        }
-        case 4: {  // int16
-            if (!need(2 * n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<int16_t>(p + 2 * i);
-            break;
-        }
-        case 8: {  // int32
-            if (!need(4 * n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<float>(load_le<int32_t>(p + 4 * i));
-            break;
-        }
-        case 16: {  // float32
-            if (!need(4 * n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<float>(p + 4 * i);
-            break;
-        }
-        case 64: {  // float64
-            if (!need(8 * n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<float>(load_le<double>(p + 8 * i));
-            break;
-        }
-        case 256: {  // int8
-            if (!need(n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = static_cast<int8_t>(p[i]);
-            break;
-        }
-        case 512: {  // uint16
-            if (!need(2 * n)) return false;
-            for (size_t i = 0; i < n; ++i) img.data[i] = load_le<uint16_t>(p + 2 * i);
-            break;
-        }
+        case 2: case 256: esize = 1; break;             // uint8 / int8
+        case 4: case 512: esize = 2; break;             // int16 / uint16
+        case 8: case 16:  esize = 4; break;             // int32 / float32
+        case 64:          esize = 8; break;             // float64
         default:
             err = "unsupported NIfTI datatype " + std::to_string(datatype);
             return false;
     }
-
-    if ((scl_slope != 0.0f && scl_slope != 1.0f) || scl_inter != 0.0f) {
-        float slope = scl_slope != 0.0f ? scl_slope : 1.0f;
-        for (auto& v : img.data) v = v * slope + scl_inter;
+    if (vox_offset < 0 || raw.size() < img.vox_offset + esize * n) {
+        err = "truncated voxel data";
+        return false;
     }
     return true;
 }
@@ -274,25 +248,25 @@ struct Vol {
     }
 };
 
-// Nifti data is Fortran-ordered (x fastest); convert to numpy C order.
-Vol to_c_order(const Nifti& img) {
-    Vol out;
-    out.nx = img.shape[0];
-    out.ny = img.shape[1];
-    out.nz = img.shape[2];
-    out.v.resize(img.data.size());
-    for (int z = 0; z < out.nz; ++z)
-        for (int y = 0; y < out.ny; ++y)
-            for (int x = 0; x < out.nx; ++x)
-                out.at(x, y, z) =
-                    img.data[static_cast<size_t>(z) * out.ny * out.nx +
-                             static_cast<size_t>(y) * out.nx + x];
-    return out;
-}
+// Composed Fortran->C + RAS geometry: the disk layout (x fastest) and the
+// RAS axis permutation/flips collapse into ONE linear index map — output
+// voxel (o0,o1,o2) reads input element off + o0*stride[0] + o1*stride[1] +
+// o2*stride[2]. Axis-dominance algorithm identical to the python
+// orientation_ras (and the previous two-pass orient_ras).
+struct RasMap {
+    int dims[3];            // output dims, C order (dims[2] fastest)
+    long long stride[3];    // input ELEMENT stride per output axis
+    long long off;          // input element offset
+    double out_affine[3][4];
+};
 
-// RAS reorientation (same algorithm as python orientation_ras).
-void orient_ras(Vol& vol, double affine[3][4]) {
-    int nx[3] = {vol.nx, vol.ny, vol.nz};
+RasMap compute_ras_map(const NiftiHeader& img) {
+    const double (*affine)[4] = img.affine;
+    int n[3] = {img.shape[0], img.shape[1], img.shape[2]};
+    long long fstride[3] = {
+        1, static_cast<long long>(n[0]),
+        static_cast<long long>(n[0]) * n[1],
+    };
     // dominant world axis per input axis
     int best[3];
     for (int j = 0; j < 3; ++j) {
@@ -302,32 +276,23 @@ void orient_ras(Vol& vol, double affine[3][4]) {
             if (a > m) { m = a; best[j] = w; }
         }
     }
-    // flips
     bool flip[3];
     for (int j = 0; j < 3; ++j) flip[j] = affine[best[j]][j] < 0;
-    // permutation: perm[world] = input axis
-    int perm[3];
+    int perm[3];  // perm[world] = input axis
     for (int w = 0; w < 3; ++w)
         for (int j = 0; j < 3; ++j)
             if (best[j] == w) perm[w] = j;
 
-    Vol out;
-    int dims[3] = {nx[perm[0]], nx[perm[1]], nx[perm[2]]};
-    out.nx = dims[0]; out.ny = dims[1]; out.nz = dims[2];
-    out.v.resize(vol.v.size());
-    int idx[3];
-    for (int x = 0; x < out.nx; ++x) {
-        for (int y = 0; y < out.ny; ++y) {
-            for (int z = 0; z < out.nz; ++z) {
-                int o[3] = {x, y, z};
-                for (int w = 0; w < 3; ++w) {
-                    int j = perm[w];
-                    int v = o[w];
-                    if (flip[j]) v = nx[j] - 1 - v;
-                    idx[j] = v;
-                }
-                out.at(x, y, z) = vol.at(idx[0], idx[1], idx[2]);
-            }
+    RasMap m{};
+    m.off = 0;
+    for (int w = 0; w < 3; ++w) {
+        int j = perm[w];
+        m.dims[w] = n[j];
+        if (flip[j]) {
+            m.stride[w] = -fstride[j];
+            m.off += static_cast<long long>(n[j] - 1) * fstride[j];
+        } else {
+            m.stride[w] = fstride[j];
         }
     }
     // new spacing follows the permutation (voxel sizes along world axes)
@@ -337,11 +302,83 @@ void orient_ras(Vol& vol, double affine[3][4]) {
         for (int w = 0; w < 3; ++w) s += affine[w][j] * affine[w][j];
         sp[j] = std::sqrt(s);
     }
-    double new_sp[3] = {sp[perm[0]], sp[perm[1]], sp[perm[2]]};
     for (int r = 0; r < 3; ++r)
-        for (int c = 0; c < 4; ++c) affine[r][c] = 0;
-    for (int w = 0; w < 3; ++w) affine[w][w] = new_sp[w];
-    vol = std::move(out);
+        for (int c = 0; c < 4; ++c) m.out_affine[r][c] = 0;
+    for (int w = 0; w < 3; ++w) m.out_affine[w][w] = sp[perm[w]];
+    return m;
+}
+
+// One fused pass: dtype convert + scl scale + composed permutation, written
+// directly into the caller's buffer. Cache-blocked: the inner loop runs
+// along the axis whose INPUT stride is +-1 (sequential reads); writes are
+// tiled so each 64-wide tile's output cache lines stay resident across the
+// tile's fastest-output-axis sweep.
+template <typename T>
+void extract_typed(const uint8_t* p, const RasMap& m, float slope,
+                   float inter, float* out) {
+    const int d0 = m.dims[0], d1 = m.dims[1], d2 = m.dims[2];
+    const long long s0 = m.stride[0], s1 = m.stride[1], s2 = m.stride[2];
+    const bool scaled = (slope != 1.0f) || (inter != 0.0f);
+    auto load = [&](long long idx) {
+        T v;
+        std::memcpy(&v, p + idx * static_cast<long long>(sizeof(T)), sizeof(T));
+        float f = static_cast<float>(v);
+        return scaled ? f * slope + inter : f;
+    };
+    if (s2 == 1 || s2 == -1) {
+        // output-fastest axis is also input-fastest: plain sweep
+        for (int x = 0; x < d0; ++x) {
+            const long long bx = m.off + static_cast<long long>(x) * s0;
+            float* orow = out + static_cast<size_t>(x) * d1 * d2;
+            for (int y = 0; y < d1; ++y) {
+                const long long b = bx + static_cast<long long>(y) * s1;
+                float* o = orow + static_cast<size_t>(y) * d2;
+                for (int z = 0; z < d2; ++z)
+                    o[z] = load(b + static_cast<long long>(z) * s2);
+            }
+        }
+        return;
+    }
+    // exactly one axis has |stride| == 1 (the input is contiguous)
+    const int win = (s0 == 1 || s0 == -1) ? 0 : 1;
+    const int oth = (win == 0) ? 1 : 0;
+    const long long odim[3] = {static_cast<long long>(d1) * d2, d2, 1};
+    const int B = 64;
+    for (int a = 0; a < m.dims[oth]; ++a) {
+        const long long in_a = m.off + static_cast<long long>(a) * m.stride[oth];
+        float* out_a = out + static_cast<size_t>(a) * odim[oth];
+        for (int wb = 0; wb < m.dims[win]; wb += B) {
+            const int we = std::min(wb + B, m.dims[win]);
+            for (int zb = 0; zb < d2; zb += B) {
+                const int ze = std::min(zb + B, d2);
+                for (int z = zb; z < ze; ++z) {
+                    const long long in_z = in_a + static_cast<long long>(z) * s2;
+                    float* out_z = out_a + z;
+                    for (int w = wb; w < we; ++w)
+                        out_z[static_cast<size_t>(w) * odim[win]] =
+                            load(in_z + static_cast<long long>(w) * m.stride[win]);
+                }
+            }
+        }
+    }
+}
+
+// dtype dispatch; `raw` is the whole (inflated) file buffer.
+void fused_ras_extract(const std::vector<uint8_t>& raw, const NiftiHeader& img,
+                       const RasMap& m, float* out) {
+    const uint8_t* p = raw.data() + img.vox_offset;
+    float slope = img.scl_slope != 0.0f ? img.scl_slope : 1.0f;
+    float inter = img.scl_inter;
+    switch (img.datatype) {
+        case 2:   extract_typed<uint8_t >(p, m, slope, inter, out); break;
+        case 4:   extract_typed<int16_t >(p, m, slope, inter, out); break;
+        case 8:   extract_typed<int32_t >(p, m, slope, inter, out); break;
+        case 16:  extract_typed<float   >(p, m, slope, inter, out); break;
+        case 64:  extract_typed<double  >(p, m, slope, inter, out); break;
+        case 256: extract_typed<int8_t  >(p, m, slope, inter, out); break;
+        case 512: extract_typed<uint16_t>(p, m, slope, inter, out); break;
+        default: break;  // parse_nifti_header already rejected it
+    }
 }
 
 // ---------------------------------------------------------------------------
@@ -588,15 +625,20 @@ int headct_preprocess_ex(const char* path, int roi, int in_channels,
         if (!gunzip(raw, inflated, e)) return fail(e);
         raw = std::move(inflated);
     }
-    Nifti img;
-    if (!parse_nifti(raw, img, e)) return fail(e);
-    Vol vol = to_c_order(img);
-    img.data.clear();
-    img.data.shrink_to_fit();
+    NiftiHeader img;
+    if (!parse_nifti_header(raw, img, e)) return fail(e);
+    RasMap map = compute_ras_map(img);
+    Vol vol;
+    vol.nx = map.dims[0];
+    vol.ny = map.dims[1];
+    vol.nz = map.dims[2];
+    vol.v.resize(static_cast<size_t>(vol.nx) * vol.ny * vol.nz);
+    fused_ras_extract(raw, img, map, vol.v.data());
+    raw.clear();
+    raw.shrink_to_fit();
 
-    orient_ras(vol, img.affine);
-
-    double zf[3] = {img.affine[0][0], img.affine[1][1], img.affine[2][2]};
+    double zf[3] = {map.out_affine[0][0], map.out_affine[1][1],
+                    map.out_affine[2][2]};
     bool need_zoom = false;
     for (int i = 0; i < 3; ++i) {
         if (std::fabs(zf[i] - 1.0) > 1e-3) need_zoom = true;
@@ -657,6 +699,12 @@ int headct_preprocess(const char* path, int roi, int in_channels,
 //   headct_decode_close(h)
 // ---------------------------------------------------------------------------
 
+struct DecodeHandle {
+    NiftiHeader hdr;
+    RasMap map;
+    std::vector<uint8_t> raw;  // inflated file bytes; voxels extracted lazily
+};
+
 void* headct_decode_open(const char* path, int* shape, double* affine,
                          char* err, int errlen) {
     std::string e;
@@ -671,29 +719,29 @@ void* headct_decode_open(const char* path, int* shape, double* affine,
         if (!gunzip(raw, inflated, e)) return fail(e);
         raw = std::move(inflated);
     }
-    Nifti img;
-    if (!parse_nifti(raw, img, e)) return fail(e);
-    auto* h = new Vol(to_c_order(img));
-    img.data.clear();
-    img.data.shrink_to_fit();
-    orient_ras(*h, img.affine);
-    shape[0] = h->nx;
-    shape[1] = h->ny;
-    shape[2] = h->nz;
+    auto h = std::make_unique<DecodeHandle>();
+    if (!parse_nifti_header(raw, h->hdr, e)) return fail(e);
+    h->map = compute_ras_map(h->hdr);
+    h->raw = std::move(raw);
+    shape[0] = h->map.dims[0];
+    shape[1] = h->map.dims[1];
+    shape[2] = h->map.dims[2];
     for (int r = 0; r < 3; ++r)
-        for (int c = 0; c < 4; ++c) affine[r * 4 + c] = img.affine[r][c];
-    return h;
+        for (int c = 0; c < 4; ++c) affine[r * 4 + c] = h->map.out_affine[r][c];
+    return h.release();
 }
 
+// The heavy work happens HERE, in one fused pass straight into the caller's
+// numpy buffer — no volume-sized temporaries anywhere in the decode path.
 int headct_decode_read(void* handle, float* out) {
-    auto* h = static_cast<Vol*>(handle);
+    auto* h = static_cast<DecodeHandle*>(handle);
     if (!h) return 1;
-    std::memcpy(out, h->v.data(), h->v.size() * sizeof(float));
+    fused_ras_extract(h->raw, h->hdr, h->map, out);
     return 0;
 }
 
-void headct_decode_close(void* handle) { delete static_cast<Vol*>(handle); }
+void headct_decode_close(void* handle) { delete static_cast<DecodeHandle*>(handle); }
 
-int headct_native_version() { return 3; }
+int headct_native_version() { return 4; }
 
 }  // extern "C"
