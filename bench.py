@@ -407,7 +407,7 @@ def _bounded_first_contact(deadline_s: float = 900.0) -> None:
         metric, unit = ("volumes/sec/chip (MAE pretrain, loader-in-the-loop)",
                         "volumes/s/chip")
     else:
-        metric, unit = ("volumes/sec/chip (MAE pretrain, full step)",
+        metric, unit = ("volumes/sec/chip (MAE 3D pretrain step)",
                         "volumes/s/chip")
 
     def _watch():

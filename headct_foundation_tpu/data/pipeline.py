@@ -87,8 +87,16 @@ class DevicePrefetcher:
 
     def _place(self, batch: Any) -> Any:
         if isinstance(batch, tuple):
-            vol = np.asarray(batch[self.field])
-            dev, n = self._put(vol)
+            vol = batch[self.field]
+            if isinstance(vol, jax.Array):
+                # already device-resident (device-pool loaders): np.asarray
+                # here would force a D2H+H2D round trip of the whole batch.
+                # Still honor the dtype contract and the batch sharding —
+                # a committed array on the wrong devices would otherwise
+                # fail the jitted step's in_shardings check.
+                dev, n = self._placed_device_array(vol), vol.shape[0]
+            else:
+                dev, n = self._put(np.asarray(vol))
             out = list(batch)
             out[self.field] = dev
             for idx, dt in self.extra_fields:
@@ -97,8 +105,20 @@ class DevicePrefetcher:
                 out[idx] = extra
             out = tuple(out)
             return out + (n,) if self.with_counts else out
+        if isinstance(batch, jax.Array):
+            dev = self._placed_device_array(batch)
+            return (dev, dev.shape[0]) if self.with_counts else dev
         dev, n = self._put(np.asarray(batch))
         return (dev, n) if self.with_counts else dev
+
+    def _placed_device_array(self, vol: "jax.Array") -> "jax.Array":
+        """dtype-cast + batch-sharding placement for an already-device-
+        resident volume batch (device-to-device, never via host)."""
+        if self.dtype is not None and vol.dtype != self.dtype:
+            vol = vol.astype(self.dtype)
+        vol = jax.device_put(vol, batch_sharding(self.mesh))
+        jax.block_until_ready(vol)
+        return vol
 
     def _put(self, vol: np.ndarray):
         """Host batch -> sharded device array, transfer completed HERE in the

@@ -67,6 +67,11 @@ static bool gunzip_libdeflate(const std::vector<uint8_t>& in,
                    ((size_t)tr[2] << 16) | ((size_t)tr[3] << 24);
     size_t cap = isize;
     if (cap < in.size()) cap = in.size() * 4 + (1u << 20);  // wrap / odd trailer
+    // ISIZE comes from the (untrusted) file: a corrupt trailer must not force
+    // a multi-GB up-front allocation. Start bounded (DEFLATE is <=1032:1, and
+    // CT volumes inflate ~2-4x); the INSUFFICIENT_SPACE loop below grows.
+    size_t bound = in.size() * 64 + (1u << 24);
+    if (cap > bound) cap = bound;
     libdeflate_decompressor* d = libdeflate_alloc_decompressor();
     if (!d) return false;
     out.resize(cap);
@@ -98,6 +103,7 @@ static bool gunzip_libdeflate(const std::vector<uint8_t>& in,
 bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out, std::string& err) {
 #ifdef HEADCT_HAVE_LIBDEFLATE
     if (gunzip_libdeflate(in, out)) return true;
+    std::vector<uint8_t>().swap(out);  // release the failed path's capacity
 #endif
     z_stream zs{};
     if (inflateInit2(&zs, 15 + 32) != Z_OK) { err = "inflateInit failed"; return false; }
@@ -618,6 +624,10 @@ int headct_preprocess_ex(const char* path, int roi, int in_channels,
         std::snprintf(err, errlen, "%s", msg.c_str());
         return 1;
     };
+    // No exception may cross the C ABI: a corrupt file driving a huge
+    // allocation (std::bad_alloc) must surface as a per-file error the
+    // python loaders' shielding can catch, not std::terminate.
+    try {
     std::vector<uint8_t> raw;
     if (!read_file_raw(path, raw, e)) return fail(e);
     if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
@@ -680,6 +690,9 @@ int headct_preprocess_ex(const char* path, int roi, int in_channels,
             out[ci * roi3 + i] = f32_to_f16_bits(r.v[i]);
     }
     return 0;
+    } catch (const std::exception& ex) {
+        return fail(std::string("native preprocess failed: ") + ex.what());
+    }
 }
 
 int headct_preprocess(const char* path, int roi, int in_channels,
@@ -712,23 +725,28 @@ void* headct_decode_open(const char* path, int* shape, double* affine,
         std::snprintf(err, errlen, "%s", msg.c_str());
         return nullptr;
     };
-    std::vector<uint8_t> raw;
-    if (!read_file_raw(path, raw, e)) return fail(e);
-    if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-        std::vector<uint8_t> inflated;
-        if (!gunzip(raw, inflated, e)) return fail(e);
-        raw = std::move(inflated);
+    try {
+        std::vector<uint8_t> raw;
+        if (!read_file_raw(path, raw, e)) return fail(e);
+        if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+            std::vector<uint8_t> inflated;
+            if (!gunzip(raw, inflated, e)) return fail(e);
+            raw = std::move(inflated);
+        }
+        auto h = std::make_unique<DecodeHandle>();
+        if (!parse_nifti_header(raw, h->hdr, e)) return fail(e);
+        h->map = compute_ras_map(h->hdr);
+        h->raw = std::move(raw);
+        shape[0] = h->map.dims[0];
+        shape[1] = h->map.dims[1];
+        shape[2] = h->map.dims[2];
+        for (int r = 0; r < 3; ++r)
+            for (int c = 0; c < 4; ++c)
+                affine[r * 4 + c] = h->map.out_affine[r][c];
+        return h.release();
+    } catch (const std::exception& ex) {
+        return fail(std::string("native decode failed: ") + ex.what());
     }
-    auto h = std::make_unique<DecodeHandle>();
-    if (!parse_nifti_header(raw, h->hdr, e)) return fail(e);
-    h->map = compute_ras_map(h->hdr);
-    h->raw = std::move(raw);
-    shape[0] = h->map.dims[0];
-    shape[1] = h->map.dims[1];
-    shape[2] = h->map.dims[2];
-    for (int r = 0; r < 3; ++r)
-        for (int c = 0; c < 4; ++c) affine[r * 4 + c] = h->map.out_affine[r][c];
-    return h.release();
 }
 
 // The heavy work happens HERE, in one fused pass straight into the caller's

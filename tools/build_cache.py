@@ -87,8 +87,29 @@ def main() -> None:
         if before != len(paths):
             print(f"skipping {before - len(paths)} already-packed volumes")
 
+    # Sliding window instead of pool.map: map() submits every path up front
+    # and buffers each completed result (a full preprocessed volume) until
+    # the single-threaded packer consumes it — on a large manifest with fast
+    # cache-hit loads that backlog grows without bound. The window caps
+    # in-flight volumes at ~4x the worker count.
+    from collections import deque
+
+    window = max(2 * args.workers, 8)
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
-        for path, vol in pool.map(_one, paths):
+        path_iter = iter(paths)
+        futures = deque()
+
+        def _top_up():
+            while len(futures) < window:
+                p = next(path_iter, None)
+                if p is None:
+                    return
+                futures.append(pool.submit(_one, p))
+
+        _top_up()
+        while futures:
+            path, vol = futures.popleft().result()
+            _top_up()
             done += 1
             if vol is None:
                 errors += 1

@@ -150,11 +150,7 @@ def main() -> None:
             dim=args.hidden_size, mlp=args.mlp_dim, layers=args.num_layers,
             heads=args.num_heads,
         ).eval()
-        def _as_torch(sd):
-            return {
-                k: torch.from_numpy(np.ascontiguousarray(v))
-                for k, v in sd.items()
-            }
+        from tools.export_torch import _to_torch_sd as _as_torch
 
         try:
             # independent import path: the raw .pt straight into the oracle

@@ -213,10 +213,13 @@ def main() -> None:
     ap.add_argument("--img-size", type=int, default=96)
     ap.add_argument("--in-chans", type=int, default=3)
     ap.add_argument(
-        "--warm-scan", action="append", default=[], metavar="HxWxD",
+        "--warm-scan", action="append", default=[], metavar="HxWxD[@sx,sy,sz]",
         help="pre-compile the on-device preprocess for this raw scan shape "
-        "(repeatable, e.g. --warm-scan 512x512x40 --warm-scan 220x220x140); "
-        "without it the first request per shape-bucket pays the preprocess "
+        "and voxel spacing in mm (repeatable, e.g. --warm-scan 512x512x40 "
+        "--warm-scan 220x220x140@0.5,0.5,1.0; spacing defaults to "
+        "0.5,0.5,1.0). The compile bucket depends on BOTH shape and spacing "
+        "(the resample operator's output size) — match your scanner's; "
+        "without it the first request per bucket pays the preprocess "
         "compile (~minutes on a remote-attached chip)",
     )
     args = ap.parse_args()
@@ -237,7 +240,13 @@ def main() -> None:
     out, _ = extractor(warm)
     out.block_until_ready()
     for spec in args.warm_scan:
-        shape = tuple(int(s) for s in spec.lower().split("x"))
+        spec_l = spec.lower()
+        spacing = (0.5, 0.5, 1.0)
+        if "@" in spec_l:
+            spec_l, sp = spec_l.split("@", 1)
+            spacing = tuple(float(v) for v in sp.split(","))
+            assert len(spacing) == 3, f"--warm-scan {spec}: expected sx,sy,sz"
+        shape = tuple(int(s) for s in spec_l.split("x"))
         assert len(shape) == 3, f"--warm-scan {spec}: expected HxWxD"
         from headct_foundation_tpu.data.nifti import save_nifti
 
@@ -247,13 +256,13 @@ def main() -> None:
             with os.fdopen(fd, "wb"):
                 pass
             save_nifti(path, np.zeros(shape, np.float32),
-                       np.diag([0.5, 0.5, 1.0, 1.0]))
+                       np.diag(spacing + (1.0,)))
             np.asarray(extractor(
                 jnp.asarray(extractor.preprocess(path))[None]
             )[0])
         finally:
             os.unlink(path)
-        print(f"warmed preprocess for {shape} "
+        print(f"warmed preprocess for {shape} @ {spacing} mm "
               f"({time.monotonic() - t0:.1f}s)")
     server, _ = build_server(extractor, args.host, args.port,
                              args.max_batch, args.window_ms)

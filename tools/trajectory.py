@@ -110,6 +110,31 @@ def make_labeled_pool(n: int, in_chans: int, roi: int, seed: int = 0):
     return pool, labels
 
 
+class DevicePoolLoader(SyntheticLoader):
+    """SyntheticLoader variant holding the pool DEVICE-resident: batches are
+    gathered on device (jnp.take), so no H2D sits in the step loop. Used for
+    long dynamics runs over the WAN-tunnel-attached chip, where shipping a
+    256-volume effective batch per step would measure the tunnel, not the
+    optimizer."""
+
+    def __init__(self, pool: np.ndarray, batch: int, steps: int, seed: int = 0):
+        import jax.numpy as jnp
+
+        super().__init__(pool, batch, steps, seed)
+        self.pool_dev = jnp.asarray(pool, jnp.float16)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(self.seed + self.epoch)
+        for i in range(self.steps):
+            idx = rng.randint(0, len(self.pool), size=self.batch)
+            yield (
+                jnp.take(self.pool_dev, jnp.asarray(idx), axis=0),
+                [f"synthetic_{j}" for j in idx],
+            )
+
+
 class SyntheticLabeledLoader:
     """Downstream-loader contract: yields (volumes, targets, fnames)
     batches; the engine's _wrap_loader appends the real batch count."""
@@ -193,9 +218,14 @@ def run_mae(cfg, mesh, epochs, steps, batch, accum, rng, pool):
     return rec
 
 
-def run_dino(cfg, mesh, epochs, steps, batch, rng, pool):
+def run_dino(cfg, mesh, epochs, steps, batch, rng, pool, accum=1,
+             device_pool=False):
     from headct_foundation_tpu.engines import dino_engine
 
+    if accum > 1:
+        cfg.defrost()
+        cfg.TRAIN.ACCUM_STEPS = accum  # engine scans micro-batches of B/accum
+        cfg.freeze()
     total = epochs * steps
     state, _, lr_schedule, wd_sched, momentum_sched, temp_sched = (
         dino_engine.create_train_state(
@@ -204,7 +234,8 @@ def run_dino(cfg, mesh, epochs, steps, batch, rng, pool):
         )
     )
     train_step = dino_engine.make_train_step(cfg, mesh)
-    loader = SyntheticLoader(pool, batch, steps)
+    loader_cls = DevicePoolLoader if device_pool else SyntheticLoader
+    loader = loader_cls(pool, batch, steps)
     rec = RecordingRun()
     for epoch in range(epochs):
         loader.set_epoch(epoch)
@@ -268,8 +299,12 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--steps-per-epoch", type=int, default=30)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--accum", type=int, default=1, help="MAE only")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps (MAE and DINO)")
     ap.add_argument("--pool", type=int, default=64, help="distinct volumes")
+    ap.add_argument("--device-pool", action="store_true",
+                    help="hold the volume pool device-resident (no H2D in "
+                    "the step loop; for dynamics runs over the WAN tunnel)")
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--no-assert", action="store_true")
     args = ap.parse_args()
@@ -301,7 +336,8 @@ def main() -> None:
     elif args.engine == "dino":
         pool = make_blob_pool(args.pool, in_chans, roi)
         rec = run_dino(cfg, mesh, args.epochs, args.steps_per_epoch,
-                       args.batch, rng, pool)
+                       args.batch, rng, pool, accum=args.accum,
+                       device_pool=args.device_pool)
     else:
         pool, labels = make_labeled_pool(args.pool, in_chans, roi)
         rec = run_downstream(cfg, mesh, args.epochs, args.steps_per_epoch,
