@@ -123,3 +123,33 @@ def test_int16_scaled_nifti_decoders_agree(tmp_path):
     nat_data, nat_aff = decode_native(p)
     np.testing.assert_array_equal(nat_data, py_data)
     np.testing.assert_allclose(nat_aff, py_aff[:3, :4], atol=1e-5)
+
+
+def test_decode_native_corrupt_files_error_not_abort(tmp_path):
+    """Corrupt inputs must surface as catchable per-file errors (the
+    datasets' error shielding relies on it) — never a C++ exception
+    crossing the C ABI into std::terminate. Covers: garbage bytes, a valid
+    gzip with a corrupted ISIZE trailer (would otherwise drive a huge
+    up-front allocation in the fast-inflate path), and a truncated gzip."""
+    import gzip
+
+    import pytest
+
+    from headct_foundation_tpu.data.native_loader import (
+        decode_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    cases = {
+        "garbage.nii": b"definitely not a nifti",
+        "bad_isize.nii.gz": gzip.compress(b"x" * 100000)[:-4] + b"\xff" * 4,
+        "truncated.nii.gz": gzip.compress(b"y" * 100000)[:64],
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        with pytest.raises(RuntimeError):
+            decode_native(str(p))
