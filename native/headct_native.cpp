@@ -391,17 +391,68 @@ void fused_ras_extract(const std::vector<uint8_t>& raw, const NiftiHeader& img,
 // Cubic B-spline resample (scipy.ndimage.zoom order=3, mode='nearest')
 // ---------------------------------------------------------------------------
 
-// causal/anticausal prefilter along one axis (in place), pole for cubic spline
-void spline_filter_axis(std::vector<float>& line) {
+// Plane/row-sweep spline prefilter: runs `width` interleaved lines at once.
+// Line i's elements live at base + i*stride + [0, width). Per-element
+// arithmetic matches the scalar recurrence exactly (double carry across the
+// recurrence, float storage after every step).
+void spline_filter_lines(float* base, int n, size_t stride, size_t width,
+                         std::vector<double>& carry) {
     const double pole = std::sqrt(3.0) - 2.0;
-    const int n = static_cast<int>(line.size());
     if (n < 2) return;
     const double lambda = (1.0 - pole) * (1.0 - 1.0 / pole);
-    for (int i = 0; i < n; ++i) line[i] = static_cast<float>(line[i] * lambda);
-    // causal init (mirror boundary, matching scipy's default for zoom prefilter)
+    for (int i = 0; i < n; ++i) {
+        float* row = base + static_cast<size_t>(i) * stride;
+        for (size_t e = 0; e < width; ++e)
+            row[e] = static_cast<float>(row[e] * lambda);
+    }
+    int horizon = std::min(
+        n, static_cast<int>(std::ceil(-30.0 / std::log(std::fabs(pole)))));
+    carry.resize(width);
+    for (size_t e = 0; e < width; ++e) carry[e] = base[e];
+    double zn = pole;
+    for (int i = 1; i < horizon; ++i) {
+        const float* row = base + static_cast<size_t>(i) * stride;
+        for (size_t e = 0; e < width; ++e) carry[e] += zn * row[e];
+        zn *= pole;
+    }
+    for (size_t e = 0; e < width; ++e)
+        base[e] = static_cast<float>(carry[e]);
+    for (int i = 1; i < n; ++i) {
+        float* row = base + static_cast<size_t>(i) * stride;
+        for (size_t e = 0; e < width; ++e) {
+            carry[e] = row[e] + pole * carry[e];
+            row[e] = static_cast<float>(carry[e]);
+        }
+    }
+    {
+        const float* r2 = base + static_cast<size_t>(n - 2) * stride;
+        float* r1 = base + static_cast<size_t>(n - 1) * stride;
+        const double k = pole / (pole * pole - 1.0);
+        for (size_t e = 0; e < width; ++e) {
+            carry[e] = k * (pole * r2[e] + r1[e]);
+            r1[e] = static_cast<float>(carry[e]);
+        }
+    }
+    for (int i = n - 2; i >= 0; --i) {
+        float* row = base + static_cast<size_t>(i) * stride;
+        for (size_t e = 0; e < width; ++e) {
+            carry[e] = pole * (carry[e] - row[e]);
+            row[e] = static_cast<float>(carry[e]);
+        }
+    }
+}
+
+// Contiguous-line prefilter (z axis), in place — same arithmetic.
+void spline_filter_contig(float* line, int n) {
+    const double pole = std::sqrt(3.0) - 2.0;
+    if (n < 2) return;
+    const double lambda = (1.0 - pole) * (1.0 - 1.0 / pole);
+    for (int i = 0; i < n; ++i)
+        line[i] = static_cast<float>(line[i] * lambda);
+    int horizon = std::min(
+        n, static_cast<int>(std::ceil(-30.0 / std::log(std::fabs(pole)))));
     double zn = pole;
     double sum = line[0];
-    int horizon = std::min(n, static_cast<int>(std::ceil(-30.0 / std::log(std::fabs(pole)))));
     for (int i = 1; i < horizon; ++i) {
         sum += zn * line[i];
         zn *= pole;
@@ -412,7 +463,6 @@ void spline_filter_axis(std::vector<float>& line) {
         prev = line[i] + pole * prev;
         line[i] = static_cast<float>(prev);
     }
-    // anticausal init
     prev = (pole / (pole * pole - 1.0)) * (pole * line[n - 2] + line[n - 1]);
     line[n - 1] = static_cast<float>(prev);
     for (int i = n - 2; i >= 0; --i) {
@@ -442,34 +492,28 @@ Vol zoom_cubic(const Vol& in, double zf[3]) {
     };
     for (int i = 0; i < 3; ++i) on[i] = std::max(on[i], 1);
 
-    // prefilter along each axis
+    // Prefilter along each axis. The recurrences are independent across
+    // lines, so instead of gathering strided lines one by one (a full cache
+    // miss per element for the x/y axes) we sweep PLANES (x axis) / ROWS
+    // (y axis) with a double carry buffer — every access is sequential, the
+    // per-element arithmetic (and therefore the result, bit for bit) is
+    // identical to filtering one line at a time.
     Vol f = in;
     {
-        std::vector<float> line;
-        // x axis
-        line.resize(in.nx);
-        for (int y = 0; y < in.ny; ++y)
-            for (int z = 0; z < in.nz; ++z) {
-                for (int x = 0; x < in.nx; ++x) line[x] = f.at(x, y, z);
-                spline_filter_axis(line);
-                for (int x = 0; x < in.nx; ++x) f.at(x, y, z) = line[x];
-            }
-        // y axis
-        line.resize(in.ny);
+        std::vector<double> carry;
+        // x axis: lines stride ny*nz; process whole [ny*nz] planes
+        spline_filter_lines(f.v.data(), in.nx,
+                            static_cast<size_t>(in.ny) * in.nz,
+                            static_cast<size_t>(in.ny) * in.nz, carry);
+        // y axis: within each x slab, lines stride nz; process [nz] rows
         for (int x = 0; x < in.nx; ++x)
-            for (int z = 0; z < in.nz; ++z) {
-                for (int y = 0; y < in.ny; ++y) line[y] = f.at(x, y, z);
-                spline_filter_axis(line);
-                for (int y = 0; y < in.ny; ++y) f.at(x, y, z) = line[y];
-            }
-        // z axis
-        line.resize(in.nz);
-        for (int x = 0; x < in.nx; ++x)
-            for (int y = 0; y < in.ny; ++y) {
-                for (int z = 0; z < in.nz; ++z) line[z] = f.at(x, y, z);
-                spline_filter_axis(line);
-                for (int z = 0; z < in.nz; ++z) f.at(x, y, z) = line[z];
-            }
+            spline_filter_lines(
+                f.v.data() + static_cast<size_t>(x) * in.ny * in.nz,
+                in.ny, static_cast<size_t>(in.nz),
+                static_cast<size_t>(in.nz), carry);
+        // z axis: lines are contiguous — filter in place
+        for (size_t l = 0; l < f.v.size(); l += in.nz)
+            spline_filter_contig(f.v.data() + l, in.nz);
     }
 
     // The cubic B-spline kernel is separable: resample one axis at a time
@@ -495,20 +539,59 @@ Vol zoom_cubic(const Vol& in, double zf[3]) {
             cubic_weights(c - i0, &w[static_cast<size_t>(o) * 4]);
         }
 
-        for (int a = 0; a < out.nx; ++a)
-            for (int b = 0; b < out.ny; ++b)
-                for (int c = 0; c < out.nz; ++c) {
-                    int o[3] = {a, b, c};
-                    int oi = o[axis];
-                    const double* wo = &w[static_cast<size_t>(oi) * 4];
-                    double acc = 0.0;
-                    int src[3] = {a, b, c};
-                    for (int t = -1; t <= 2; ++t) {
-                        src[axis] = clampi(base[oi] + t, 0, isize - 1);
-                        acc += wo[t + 1] * v.at(src[0], src[1], src[2]);
-                    }
-                    out.at(a, b, c) = static_cast<float>(acc);
+        // Axis-specialized sweeps: each output plane/row is a 4-tap weighted
+        // sum of source planes/rows — sequential reads and writes instead of
+        // per-voxel index arithmetic. Accumulation order matches the generic
+        // t=-1..2 loop (left-to-right in double), so results are bit-equal.
+        if (axis == 0) {
+            const size_t P = static_cast<size_t>(v.ny) * v.nz;
+            for (int o = 0; o < osize; ++o) {
+                const double* wo = &w[static_cast<size_t>(o) * 4];
+                const float* s[4];
+                for (int t = 0; t < 4; ++t)
+                    s[t] = v.v.data()
+                         + static_cast<size_t>(
+                               clampi(base[o] - 1 + t, 0, isize - 1)) * P;
+                float* dst = out.v.data() + static_cast<size_t>(o) * P;
+                for (size_t e = 0; e < P; ++e)
+                    dst[e] = static_cast<float>(
+                        wo[0] * s[0][e] + wo[1] * s[1][e] +
+                        wo[2] * s[2][e] + wo[3] * s[3][e]);
+            }
+        } else if (axis == 1) {
+            const size_t R = static_cast<size_t>(v.nz);
+            for (int a = 0; a < v.nx; ++a) {
+                const float* slab =
+                    v.v.data() + static_cast<size_t>(a) * v.ny * R;
+                float* oslab =
+                    out.v.data() + static_cast<size_t>(a) * osize * R;
+                for (int o = 0; o < osize; ++o) {
+                    const double* wo = &w[static_cast<size_t>(o) * 4];
+                    const float* s[4];
+                    for (int t = 0; t < 4; ++t)
+                        s[t] = slab + static_cast<size_t>(
+                                   clampi(base[o] - 1 + t, 0, isize - 1)) * R;
+                    float* dst = oslab + static_cast<size_t>(o) * R;
+                    for (size_t e = 0; e < R; ++e)
+                        dst[e] = static_cast<float>(
+                            wo[0] * s[0][e] + wo[1] * s[1][e] +
+                            wo[2] * s[2][e] + wo[3] * s[3][e]);
                 }
+            }
+        } else {
+            const size_t lines = static_cast<size_t>(v.nx) * v.ny;
+            for (size_t l = 0; l < lines; ++l) {
+                const float* src = v.v.data() + l * isize;
+                float* dst = out.v.data() + l * osize;
+                for (int o = 0; o < osize; ++o) {
+                    const double* wo = &w[static_cast<size_t>(o) * 4];
+                    double acc = 0.0;
+                    for (int t = -1; t <= 2; ++t)
+                        acc += wo[t + 1] * src[clampi(base[o] + t, 0, isize - 1)];
+                    dst[o] = static_cast<float>(acc);
+                }
+            }
+        }
         return out;
     };
 
