@@ -639,20 +639,60 @@ Vol area_resize(const Vol& in, int ox, int oy, int oz) {
         dims[axis] = osize;
         out.nx = dims[0]; out.ny = dims[1]; out.nz = dims[2];
         out.v.assign(static_cast<size_t>(dims[0]) * dims[1] * dims[2], 0.0f);
-        for (int a = 0; a < out.nx; ++a)
-            for (int b = 0; b < out.ny; ++b)
-                for (int c = 0; c < out.nz; ++c) {
-                    int o[3] = {a, b, c};
-                    int s = (o[axis] * isize) / osize;
-                    int e = ((o[axis] + 1) * isize + osize - 1) / osize;
-                    double acc = 0;
-                    int src[3] = {a, b, c};
-                    for (int i = s; i < e; ++i) {
-                        src[axis] = i;
-                        acc += v.at(src[0], src[1], src[2]);
-                    }
-                    out.at(a, b, c) = static_cast<float>(acc / (e - s));
+        // plane/row sweeps (see the prefilter): per-element accumulation
+        // order is unchanged (i ascending, double), so results are bit-equal
+        // to pooling one voxel at a time.
+        std::vector<double> acc;
+        if (axis == 0) {
+            const size_t P = static_cast<size_t>(v.ny) * v.nz;
+            acc.resize(P);
+            for (int o = 0; o < osize; ++o) {
+                int s = (o * isize) / osize;
+                int e = ((o + 1) * isize + osize - 1) / osize;
+                std::fill(acc.begin(), acc.end(), 0.0);
+                for (int i = s; i < e; ++i) {
+                    const float* src = v.v.data() + static_cast<size_t>(i) * P;
+                    for (size_t k = 0; k < P; ++k) acc[k] += src[k];
                 }
+                float* dst = out.v.data() + static_cast<size_t>(o) * P;
+                const double d = e - s;
+                for (size_t k = 0; k < P; ++k)
+                    dst[k] = static_cast<float>(acc[k] / d);
+            }
+        } else if (axis == 1) {
+            const size_t R = static_cast<size_t>(v.nz);
+            acc.resize(R);
+            for (int a = 0; a < v.nx; ++a) {
+                const float* slab = v.v.data() + static_cast<size_t>(a) * v.ny * R;
+                float* oslab = out.v.data() + static_cast<size_t>(a) * osize * R;
+                for (int o = 0; o < osize; ++o) {
+                    int s = (o * isize) / osize;
+                    int e = ((o + 1) * isize + osize - 1) / osize;
+                    std::fill(acc.begin(), acc.end(), 0.0);
+                    for (int i = s; i < e; ++i) {
+                        const float* src = slab + static_cast<size_t>(i) * R;
+                        for (size_t k = 0; k < R; ++k) acc[k] += src[k];
+                    }
+                    float* dst = oslab + static_cast<size_t>(o) * R;
+                    const double d = e - s;
+                    for (size_t k = 0; k < R; ++k)
+                        dst[k] = static_cast<float>(acc[k] / d);
+                }
+            }
+        } else {
+            const size_t lines = static_cast<size_t>(v.nx) * v.ny;
+            for (size_t l = 0; l < lines; ++l) {
+                const float* src = v.v.data() + l * isize;
+                float* dst = out.v.data() + l * osize;
+                for (int o = 0; o < osize; ++o) {
+                    int s = (o * isize) / osize;
+                    int e = ((o + 1) * isize + osize - 1) / osize;
+                    double a2 = 0;
+                    for (int i = s; i < e; ++i) a2 += src[i];
+                    dst[o] = static_cast<float>(a2 / (e - s));
+                }
+            }
+        }
         return out;
     };
     Vol out = in;
