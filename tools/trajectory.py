@@ -87,6 +87,33 @@ def make_blob_pool(n: int, in_chans: int, roi: int, seed: int = 0) -> np.ndarray
     return pool
 
 
+def make_object_pool(n: int, in_chans: int, roi: int, seed: int = 0):
+    """Richer synthetic volumes for representation-learning dynamics: each
+    volume = smooth background + 3-8 ellipsoidal 'structures' with per-volume
+    positions/sizes/intensities. Crop pairs from one volume then share a
+    distinctive constellation (unlike plain smooth blobs, which all look
+    alike after windowing), giving DINO's instance discrimination an actual
+    signal to descend on."""
+    pool = make_blob_pool(n, in_chans, roi, seed=seed)
+    rng = np.random.RandomState(seed + 7)
+    ax = np.arange(roi, dtype=np.float32)
+    for i in range(n):
+        vol = pool[i].astype(np.float32)
+        for _ in range(rng.randint(3, 9)):
+            c = rng.uniform(0.15 * roi, 0.85 * roi, size=3)
+            r = rng.uniform(roi / 16, roi / 5, size=3)
+            amp = rng.uniform(-0.5, 0.8)
+            d2 = (
+                ((ax[:, None, None] - c[0]) / r[0]) ** 2
+                + ((ax[None, :, None] - c[1]) / r[1]) ** 2
+                + ((ax[None, None, :] - c[2]) / r[2]) ** 2
+            )
+            blob = np.exp(-0.5 * d2)
+            vol = vol + amp * blob[None]
+        pool[i] = np.clip(vol, 0.0, 1.0).astype(np.float16)
+    return pool
+
+
 def make_labeled_pool(n: int, in_chans: int, roi: int, seed: int = 0):
     """Binary-classification pool: class-0 volumes are the plain blob pool;
     class-1 volumes additionally carry a bright ellipsoid 'lesion' at a
@@ -305,6 +332,10 @@ def main() -> None:
     ap.add_argument("--device-pool", action="store_true",
                     help="hold the volume pool device-resident (no H2D in "
                     "the step loop; for dynamics runs over the WAN tunnel)")
+    ap.add_argument("--pool-style", choices=["blobs", "objects"],
+                    default="blobs",
+                    help="'objects' adds per-volume ellipsoid constellations "
+                    "— crop pairs then share identity signal DINO can learn")
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--no-assert", action="store_true")
     args = ap.parse_args()
@@ -328,13 +359,15 @@ def main() -> None:
     mesh = make_mesh(data=len(jax.devices()))
     rng = jax.random.PRNGKey(cfg.SEED)
 
+    pool_fn = (make_object_pool if args.pool_style == "objects"
+               else make_blob_pool)
     t0 = time.time()
     if args.engine == "mae":
-        pool = make_blob_pool(args.pool, in_chans, roi)
+        pool = pool_fn(args.pool, in_chans, roi)
         rec = run_mae(cfg, mesh, args.epochs, args.steps_per_epoch,
                       args.batch, args.accum, rng, pool)
     elif args.engine == "dino":
-        pool = make_blob_pool(args.pool, in_chans, roi)
+        pool = pool_fn(args.pool, in_chans, roi)
         rec = run_dino(cfg, mesh, args.epochs, args.steps_per_epoch,
                        args.batch, rng, pool, accum=args.accum,
                        device_pool=args.device_pool)
