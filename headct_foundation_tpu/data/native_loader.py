@@ -35,19 +35,23 @@ _SO = os.path.join(_NATIVE_DIR, "libheadct_native.so")
 
 
 def _build() -> bool:
-    # try the fast DEFLATE path (libdeflate) first; fall back to zlib-only
-    for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _SO, "-lz"] + extra,
-                check=True,
-                capture_output=True,
-                timeout=300,
-            )
-            return True
-        except Exception:
-            continue
+    # Host-tuned codegen first (-march=native; -ffp-contract=off keeps FMA
+    # contraction from changing float results — outputs stay bit-equal to
+    # the scipy/torch oracles), then portable flags; libdeflate fast-inflate
+    # first, zlib-only fallback.
+    for march in (["-march=native", "-ffp-contract=off"], []):
+        for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", *march, "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-o", _SO, "-lz"] + extra,
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+                return True
+            except Exception:
+                continue
     return False
 
 

@@ -17,16 +17,19 @@ def _try_build_native() -> None:
     out = _HERE / "native" / "libheadct_native.so"
     if not src.exists():
         return
-    for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src),
-                 "-o", str(out), "-lz"] + extra,
-                check=True, capture_output=True, timeout=300,
-            )
-            return
-        except Exception:
-            continue  # optional: python fallback covers it
+    # host-tuned first (-ffp-contract=off keeps outputs bit-equal to the
+    # scipy/torch oracles), then portable; libdeflate first, zlib fallback
+    for march in (["-march=native", "-ffp-contract=off"], []):
+        for extra in (["-ldeflate"], ["-DHEADCT_NO_LIBDEFLATE"]):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", *march, "-shared", "-fPIC", "-std=c++17",
+                     str(src), "-o", str(out), "-lz"] + extra,
+                    check=True, capture_output=True, timeout=300,
+                )
+                return
+            except Exception:
+                continue  # optional: python fallback covers it
 
 
 _try_build_native()
