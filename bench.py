@@ -355,7 +355,11 @@ def feature_throughput() -> None:
     paths = _synth_scans(tmp, n)
     extractor = _make_extractor()
 
-    extractor.extract_from_files(paths[:2], batch_size=1)  # warm all paths
+    # warm with the SAME batch size as the measured pass: the padded forward
+    # compiles per batch shape, and a B=4 ViT-B compile inside the timed
+    # window would be measured as throughput (observed: 0.98 vs the real
+    # ~2.5-2.8 scans/s steady state)
+    extractor.extract_from_files(paths[:4], batch_size=4)
     t0 = time.perf_counter()
     feats = extractor.extract_from_files(paths, batch_size=4)
     dt = time.perf_counter() - t0
