@@ -188,18 +188,39 @@ class DevicePreprocessor:
         self.roi = tuple(int(r) for r in roi)
         self.in_channels = in_channels
         self.order = order
+        # device-RESIDENT operator cache: scans from the same scanner share
+        # (shape, spacing), so without this every scan re-ships ~0.6-1 MB of
+        # operator matrices (3 H2D dispatches + their RTTs on a
+        # remote-attached chip). Keyed per padded bucket; each entry is a few
+        # hundred KB of HBM, capped FIFO.
+        self._dev_ops: dict = {}
+        self._DEV_OPS_CAP = 96
+
+    def _dev_op(self, n: int, zoom: float, identity: bool,
+                ob: int, ib: int):
+        key = (n, None if identity else round(zoom, 9), ob, ib)
+        op = self._dev_ops.get(key)
+        if op is None:
+            m = (np.eye(n, dtype=np.float32) if identity
+                 else cubic_axis_operator(n, zoom))
+            op = jax.device_put(jnp.asarray(_pad_op(m, ob, ib)))
+            if len(self._dev_ops) >= self._DEV_OPS_CAP:
+                self._dev_ops.pop(next(iter(self._dev_ops)))
+            self._dev_ops[key] = op
+        return op
 
     def _ship(self, data: np.ndarray, vox: np.ndarray):
-        """Host side of the pipeline: cubic operators (cached) + the one
-        H2D transfer. Returns (padded device volume, padded operators,
+        """Host side of the pipeline: cubic operators (device-cached) + the
+        one H2D transfer. Returns (padded device volume, padded operators,
         real resampled lengths)."""
         H, W, D = data.shape
         zooms = [float(v) for v in vox]
-        if np.allclose(zooms, 1.0, atol=1e-3):  # scipy-path skip semantics
-            ops = [np.eye(n, dtype=np.float32) for n in (H, W, D)]
+        identity = bool(np.allclose(zooms, 1.0, atol=1e-3))  # scipy skip
+        if identity:
+            outs = [H, W, D]
         else:
-            ops = [cubic_axis_operator(n, z) for n, z in zip((H, W, D), zooms)]
-        outs = [m.shape[0] for m in ops]
+            outs = [cubic_axis_operator(n, z).shape[0]
+                    for n, z in zip((H, W, D), zooms)]
         in_b = [_round_up(n, BUCKET) for n in (H, W, D)]
         out_b = [_round_up(n, BUCKET) for n in outs]
         # Ship the RAW volume (chunked concurrent H2D — pipelines the
@@ -217,8 +238,8 @@ class DevicePreprocessor:
             raw, [(0, b - n) for n, b in zip((H, W, D), in_b)]
         )
         mh, mw, md = (
-            jnp.asarray(_pad_op(m, ob, ib))
-            for m, ob, ib in zip(ops, out_b, in_b)
+            self._dev_op(n, z, identity, ob, ib)
+            for n, z, ob, ib in zip((H, W, D), zooms, out_b, in_b)
         )
         return padded, (mh, mw, md), outs
 
