@@ -137,7 +137,10 @@ class PackedShardReader:
         if ent is None:
             return None
         name, slot = ent
-        return self._shard(name)[slot]  # memmap view; collate's stack copies
+        # materialize HERE (worker-pool thread): a lazy memmap view would
+        # defer the disk page-ins to the single collate/producer thread's
+        # np.stack, serializing cold-cache I/O behind one thread
+        return np.asarray(self._shard(name)[slot])
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -681,7 +684,12 @@ def get_pretrain_dataloaders(config: Any) -> Tuple[ThreadedLoader, ThreadedLoade
 
 def _label_dicts(config: Any):
     class_mapping = get_class_mapping(config.DATA.DATASET)
-    class_idx = class_mapping.get(config.TRAIN.LABEL_NAME, None)
+    if config.TRAIN.LABEL_NAME not in class_mapping:
+        raise ValueError(
+            f"Unknown label name {config.TRAIN.LABEL_NAME!r} for dataset "
+            f"{config.DATA.DATASET!r}; choose one of {sorted(class_mapping)}"
+        )
+    class_idx = class_mapping[config.TRAIN.LABEL_NAME]
     df_train = pd.read_csv(config.DATA.TRAIN_CSV_PATH)
     df_val = pd.read_csv(config.DATA.VAL_CSV_PATH)
     df_test = pd.read_csv(config.DATA.TEST_CSV_PATH)

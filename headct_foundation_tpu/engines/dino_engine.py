@@ -37,6 +37,8 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from headct_foundation_tpu.data.augment import dino_multicrop
+# single shared host->sharded-device helper (tests import it from either)
+from headct_foundation_tpu.engines.mae_engine import _to_device_batch
 from headct_foundation_tpu.losses.dino_loss import (
     dino_loss,
     teacher_temp_schedule,
@@ -154,13 +156,15 @@ def create_train_state(
             "batch_stats", {}
         )
 
-    def _init_params(rng):
-        return _init(rng)[0]
-
-    params_shape = jax.eval_shape(_init_params, rng)
+    # one jitted init returning (params, stats) with per-output shardings —
+    # running _init twice would double the startup init compute/compile
+    params_shape, stats_shape = jax.eval_shape(_init, rng)
     p_shardings = param_shardings(params_shape, mesh)
-    params = jax.jit(_init_params, out_shardings=p_shardings)(rng)
-    head_stats = jax.jit(lambda r: _init(r)[1])(rng)
+    replicated = NamedSharding(mesh, P())
+    s_shardings = jax.tree.map(lambda _: replicated, stats_shape)
+    params, head_stats = jax.jit(
+        _init, out_shardings=(p_shardings, s_shardings)
+    )(rng)
     teacher_params = jax.tree.map(jnp.copy, params)
     teacher_head_stats = jax.tree.map(jnp.copy, head_stats)
 
@@ -262,18 +266,26 @@ def make_train_step(config, mesh: Mesh):
             batched pass — all crops share the final size, so the
             reference's size-grouped MultiCropWrapper loop collapses to a
             single group), CLS -> head."""
+            micro_rng = jax.random.fold_in(crop_rng, micro_idx)
             crops = dino_multicrop(
-                jax.random.fold_in(crop_rng, micro_idx),
+                micro_rng,
                 mb,
                 final_size=final_size,
                 global_crop_size=global_size,
                 local_crop_size=local_size,
                 local_crops_number=local_num,
             )
+            # The reference trains BOTH networks in .train() mode
+            # (engine_pretrain_dino.py:56-57), so backbone dropout is active
+            # for the student AND the teacher when VIT.DROPOUT_RATE > 0
+            # (flax Dropout short-circuits at rate 0 — free by default).
+            t_drop = jax.random.fold_in(micro_rng, 101)
+            s_drop = jax.random.fold_in(micro_rng, 102)
             t_stats_box: list = []
             teacher_output = multicrop_forward(
                 lambda x: state.backbone_apply(
-                    {"params": state.teacher_params["backbone"]}, x
+                    {"params": state.teacher_params["backbone"]}, x,
+                    deterministic=False, rngs={"dropout": t_drop},
                 ),
                 _head_fn(state.teacher_params["head"], teacher_head_stats,
                          t_stats_box),
@@ -286,7 +298,8 @@ def make_train_step(config, mesh: Mesh):
                 s_stats_box: list = []
                 student_output = multicrop_forward(
                     lambda x: state.backbone_apply(
-                        {"params": params["backbone"]}, x
+                        {"params": params["backbone"]}, x,
+                        deterministic=False, rngs={"dropout": s_drop},
                     ),
                     _head_fn(params["head"], head_stats, s_stats_box),
                     crops,
@@ -465,14 +478,6 @@ def make_eval_step(config, mesh: Mesh):
     return jax.jit(
         eval_step_scoped, in_shardings=(None, batch_sharding(mesh), None, None)
     )
-
-
-def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
-    from headct_foundation_tpu.parallel.mesh import shard_batch
-
-    arr = np.asarray(batch, dtype=np.float32)
-    dev, _ = shard_batch(arr, mesh, dtype=dtype)
-    return dev
 
 
 def train_one_epoch(

@@ -77,13 +77,19 @@ def build_classifier(config, dtype=jnp.bfloat16):
     raise NotImplementedError(f"Unknown classifier: {kind}")
 
 
+# Reference LoRA rule: train lora/bias/embeddings/norm params only
+# (reference: misc.py:349-359, substring match on parameter names).
+# Single source of truth — used by both the mask tree and the optimizer
+# label routing below.
+_LORA_TRAINABLE_SUBSTRINGS = ("lora", "bias", "embeddings", "norm")
+
+
 def lora_trainable_mask(params: Any) -> Any:
-    """Reference LoRA mask: train lora/bias/embeddings/norm params only
-    (reference: misc.py:349-359, substring match on parameter names)."""
+    """Per-leaf bool tree of the reference LoRA trainability rule."""
 
     def _mask(path, leaf):
         joined = "/".join(str(getattr(k, "key", k)) for k in path).lower()
-        return any(s in joined for s in ("lora", "bias", "embeddings", "norm"))
+        return any(s in joined for s in _LORA_TRAINABLE_SUBSTRINGS)
 
     return jax.tree_util.tree_map_with_path(_mask, params)
 
@@ -145,8 +151,6 @@ def create_train_state(
     # Per-leaf routing: classifier params get the 100x-LR optimizer; frozen
     # backbone leaves (LOCK, non-LoRA params under --lora, sincos position
     # embeddings) get zero updates; the rest get the backbone optimizer.
-    lora_mask = lora_trainable_mask(params["model"]) if config.TRAIN.LORA else None
-
     def _label(path, _leaf):
         top = str(getattr(path[0], "key", path[0]))
         if top == "classifier":
@@ -156,9 +160,9 @@ def create_train_state(
             return "freeze"
         if config.VIT.POS_EMBED == "sincos" and "position_embeddings" in names:
             return "freeze"
-        if lora_mask is not None:
+        if config.TRAIN.LORA:
             joined = "/".join(names[1:]).lower()
-            if not any(s in joined for s in ("lora", "bias", "embeddings", "norm")):
+            if not any(s in joined for s in _LORA_TRAINABLE_SUBSTRINGS):
                 return "freeze"
         return "model"
 
@@ -193,8 +197,18 @@ def create_train_state(
     return state, state_shardings, (lr_model, lr_clf)
 
 
-def _features(state, params, batch, kind):
-    tokens, _ = state.model_apply({"params": params["model"]}, batch)
+def _features(state, params, batch, kind, dropout_rng=None):
+    """Backbone features. A dropout_rng makes the forward NON-deterministic
+    (backbone dropout active) — the reference trains the downstream model in
+    .train() mode (engine_downstream.py:65), so with VIT.DROPOUT_RATE > 0
+    the train step must run dropout; eval passes None (.eval() parity)."""
+    if dropout_rng is not None:
+        tokens, _ = state.model_apply(
+            {"params": params["model"]}, batch, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+    else:
+        tokens, _ = state.model_apply({"params": params["model"]}, batch)
     if kind == "linear":
         return tokens[:, 0, :]  # CLS (reference: engine_downstream.py:85-86)
     return tokens  # full sequence for attentive classifier
@@ -214,8 +228,11 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None,
         # float32 for the torch-twin oracle)
         batch = vit_augment(step_rng, batch).astype(compute_dtype)
 
+        drop_rng = jax.random.fold_in(step_rng, 1)
+
         def loss_fn(params):
-            feats = _features(state, params, batch, kind)
+            feats = _features(state, params, batch, kind,
+                              dropout_rng=drop_rng)
             if lock:
                 feats = jax.lax.stop_gradient(feats)
             logits, updates = state.classifier_apply(

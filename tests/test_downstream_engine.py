@@ -172,3 +172,35 @@ def test_local_rows_dedupes_replicated_shards():
     assert len(garr.addressable_shards) == 8
     out = _local_rows(garr, 7)
     np.testing.assert_array_equal(out, probs[:7])
+
+
+def test_backbone_dropout_active_in_training_only(tmp_path):
+    """With VIT.DROPOUT_RATE > 0 the TRAIN step must run backbone dropout
+    (the reference trains in .train() mode, engine_downstream.py:65) while
+    eval stays deterministic (.eval() parity). Regression for a bug where
+    the downstream/DINO forwards never passed deterministic=False, silently
+    disabling configured dropout."""
+    cfg = _tiny_config(tmp_path)
+    cfg.VIT.DROPOUT_RATE = 0.5
+    mesh = make_mesh(data=8)
+    state, _, _ = downstream_engine.create_train_state(
+        cfg, mesh, jax.random.PRNGKey(0), 10, 0
+    )
+    step = downstream_engine.make_train_step(cfg, mesh)
+    eval_step = downstream_engine.make_eval_step(cfg, mesh)
+    vols, targets = _data()
+    data = downstream_engine._to_device(vols, mesh, np.float32)
+    tgt = downstream_engine._to_device(targets, mesh, np.int32)
+
+    # two different rngs from the SAME state/batch: dropout must change loss
+    # (the jitted step donates the state, so give each call its own copy)
+    _, m1 = step(jax.tree.map(jnp.copy, state), data, tgt, jax.random.PRNGKey(1))
+    _, m2 = step(jax.tree.map(jnp.copy, state), data, tgt, jax.random.PRNGKey(2))
+    l1, l2 = float(jax.device_get(m1["loss"])), float(jax.device_get(m2["loss"]))
+    assert np.isfinite([l1, l2]).all()
+    assert l1 != l2, "dropout inactive: identical losses under different rngs"
+
+    # eval: no rng, deterministic regardless of dropout rate
+    e1 = float(jax.device_get(eval_step(state, data, tgt)["loss"]))
+    e2 = float(jax.device_get(eval_step(state, data, tgt)["loss"]))
+    assert e1 == e2
