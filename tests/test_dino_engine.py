@@ -252,3 +252,36 @@ def test_dino_grad_accumulation_step(tmp_path):
     # center EMA invariant: ||c1 - 0.9 c0|| / 0.1 is a mean of softmax-space
     # teacher outputs -> bounded by the max |teacher logit|
     assert np.isfinite(center1).all()
+
+
+def test_backbone_dropout_active_for_student_and_teacher(tmp_path):
+    """The reference trains BOTH networks in .train() mode
+    (engine_pretrain_dino.py:56-57): with VIT.DROPOUT_RATE > 0 the jitted
+    step must be rng-dependent. Regression for the forwards never passing
+    deterministic=False (configured dropout silently off)."""
+    cfg = _tiny_config(tmp_path)
+    cfg.VIT.DROPOUT_RATE = 0.5
+    mesh = make_mesh(data=8)
+    state, _, _, _, mom_sched, temp_sched = dino_engine.create_train_state(
+        cfg, mesh, jax.random.PRNGKey(0), total_steps=8, num_warmup_steps=1,
+        niter_per_ep=2,
+    )
+    train_step = dino_engine.make_train_step(cfg, mesh)
+    batch = dino_engine._to_device_batch(
+        np.random.RandomState(0).rand(8, 1, 24, 24, 24).astype(np.float32),
+        mesh,
+    )
+    m = jnp.asarray(mom_sched[0], jnp.float32)
+    t = jnp.asarray(temp_sched[0], jnp.float32)
+    cancel = jnp.asarray(1.0)
+    # the step donates the state: fresh copy per call; same state+batch,
+    # different rng -> dropout must change the loss
+    losses = []
+    for seed in (1, 2):
+        _, metrics = train_step(
+            jax.tree.map(jnp.copy, state), batch, jax.random.PRNGKey(seed),
+            m, t, cancel,
+        )
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert np.isfinite(losses).all()
+    assert losses[0] != losses[1], "dropout inactive in the DINO step"
