@@ -31,14 +31,12 @@ import numpy as np
 from headct_foundation_tpu.models.attention import AttentionBlock
 from headct_foundation_tpu.models.layers import make_norm, trunc_normal_init
 from headct_foundation_tpu.models.patch_embed import PatchEmbeddingBlock, patchify3d
-from headct_foundation_tpu.models.pos_embed import build_sincos_position_embedding
+from headct_foundation_tpu.models.pos_embed import _to_tuple, build_sincos_position_embedding
 from headct_foundation_tpu.ops.masking import random_masking
 
 
 def _to3(x: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
-    if isinstance(x, (int, np.integer)):
-        return (int(x),) * 3
-    return tuple(int(v) for v in x)  # type: ignore[return-value]
+    return _to_tuple(x, 3)  # single impl (length-checked) in pos_embed
 
 
 class MaskedAutoencoderViT(nn.Module):
@@ -223,9 +221,12 @@ class MaskedAutoencoderViT(nn.Module):
         target = self.patchify(imgs).astype(ldt)
         if self.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True, dtype=jnp.float32)
-            var = jnp.square(target.astype(jnp.float32) - mean).mean(
+            # UNBIASED per-patch variance: the reference's target.var(dim=-1)
+            # uses torch's default Bessel correction (src/models/mae.py:292)
+            n = target.shape[-1]
+            var = jnp.square(target.astype(jnp.float32) - mean).sum(
                 axis=-1, keepdims=True
-            )
+            ) / max(n - 1, 1)
             target = ((target - mean) / jnp.sqrt(var + 1.0e-6)).astype(ldt)
 
         loss = jnp.square(pred.astype(ldt) - target).mean(

@@ -43,8 +43,8 @@ def multicrop_forward(
     n = len(crops)
     while start < n:
         end = start
-        shape = crops[start].shape[-1]
-        while end < n and crops[end].shape[-1] == shape:
+        shape = crops[start].shape[2:]  # FULL spatial shape, not just depth
+        while end < n and crops[end].shape[2:] == shape:
             end += 1
         batch = jnp.concatenate(list(crops[start:end]), axis=0)
         tokens, _ = backbone_apply(batch)

@@ -123,12 +123,14 @@ class PatchEmbeddingBlock(nn.Module):
         if self.position_embeddings is not None:
             pe = self.position_embeddings
             if spatial != tuple(self.img_size):
-                new_num_patches = int(
-                    np.prod([s // p for s, p in zip(spatial, self.patch_size)])
+                # pass the ACTUAL grid: a non-cubic input whose patch count
+                # is a perfect cube would otherwise be mis-assigned
+                new_grid = tuple(
+                    s // p for s, p in zip(spatial, self.patch_size)
                 )
                 pe = interpolate_pos_embed(
-                    pe, num_extra_tokens=0, new_num_patches=new_num_patches,
-                    spatial_dims=self.spatial_dims,
+                    pe, num_extra_tokens=0, spatial_dims=self.spatial_dims,
+                    new_grid=new_grid,
                 )
             tokens = tokens + pe.astype(self.dtype)
 

@@ -91,29 +91,54 @@ def nth_root(n: int, k: int) -> int:
 def interpolate_pos_embed(
     pos_embed: jax.Array,
     num_extra_tokens: int,
-    new_num_patches: int,
+    new_num_patches: int = None,
     spatial_dims: int = 3,
+    new_grid: tuple = None,
 ) -> jax.Array:
-    """Interpolate a [1, T, C] position embedding to a new cubic grid size.
+    """Interpolate a [1, T, C] position embedding to a new grid.
 
     Used both at checkpoint load when the stored grid differs from the model's
     (reference: src/utils/pos_embed.py:102-153) and inside the forward pass for
     dynamic-resolution inputs (reference: src/utils/pos_embed.py:164-218).
     Extra (CLS/register) tokens pass through unchanged. Trilinear/bicubic with
     half-pixel centers (torch ``align_corners=False`` == jax.image 'linear').
+
+    The SOURCE grid must be cubic (a count alone cannot disambiguate grids;
+    stored embeds are built for cubic ``img_size``). The target is cubic when
+    given as ``new_num_patches``; pass ``new_grid=(gh, gw, gd)`` for non-cubic
+    dynamic-resolution targets — a non-cubic grid whose count happens to be a
+    perfect cube would otherwise be silently mis-assigned.
     """
     embed_dim = pos_embed.shape[-1]
     orig_num_patches = pos_embed.shape[-2] - num_extra_tokens
     orig_size = nth_root(orig_num_patches, spatial_dims)
-    new_size = nth_root(new_num_patches, spatial_dims)
-    if orig_size == new_size:
+    if orig_size**spatial_dims != orig_num_patches:
+        raise ValueError(
+            f"interpolate_pos_embed requires a cubic source grid; got "
+            f"{orig_num_patches} patches (not a perfect {spatial_dims}-cube)"
+        )
+    if new_grid is not None:
+        new_grid = tuple(int(g) for g in new_grid)
+        if len(new_grid) != spatial_dims:
+            raise ValueError(f"new_grid {new_grid} vs spatial_dims {spatial_dims}")
+    else:
+        if new_num_patches is None:
+            raise ValueError("pass new_num_patches or new_grid")
+        new_size = nth_root(new_num_patches, spatial_dims)
+        if new_size**spatial_dims != new_num_patches:
+            raise ValueError(
+                f"target count {new_num_patches} is not a perfect "
+                f"{spatial_dims}-cube; pass new_grid=(gh, gw, gd) instead"
+            )
+        new_grid = (new_size,) * spatial_dims
+    if new_grid == (orig_size,) * spatial_dims:
         return pos_embed
 
     extra = pos_embed[:, :num_extra_tokens]
     tokens = pos_embed[:, num_extra_tokens:]
     grid_shape = (orig_size,) * spatial_dims
     tokens = tokens.reshape((1,) + grid_shape + (embed_dim,))
-    new_shape = (1,) + (new_size,) * spatial_dims + (embed_dim,)
+    new_shape = (1,) + new_grid + (embed_dim,)
     tokens = jax.image.resize(tokens, new_shape, method="linear")
-    tokens = tokens.reshape(1, new_size**spatial_dims, embed_dim)
+    tokens = tokens.reshape(1, int(np.prod(new_grid)), embed_dim)
     return jnp.concatenate([extra, tokens], axis=1)

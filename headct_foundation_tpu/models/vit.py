@@ -22,12 +22,11 @@ import numpy as np
 from headct_foundation_tpu.models.attention import AttentionBlock
 from headct_foundation_tpu.models.layers import make_norm
 from headct_foundation_tpu.models.patch_embed import PatchEmbeddingBlock
+from headct_foundation_tpu.models.pos_embed import _to_tuple
 
 
 def _to3(x: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
-    if isinstance(x, (int, np.integer)):
-        return (int(x),) * 3
-    return tuple(int(v) for v in x)  # type: ignore[return-value]
+    return _to_tuple(x, 3)  # single impl (length-checked) in pos_embed
 
 
 class ViT(nn.Module):

@@ -69,44 +69,6 @@ def _vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _vmem_attention(q, k, v, scale: float) -> jax.Array:
-    B, T, H, D = q.shape
-    t_pad = _round_up(T, 128)
-
-    def _prep(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
-        if t_pad != T:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
-        return x
-
-    qp, kp, vp = _prep(q), _prep(k), _prep(v)
-    spec = pl.BlockSpec((1, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_vmem_kernel, scale=scale, t_real=T),
-        grid=(B * H,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
-        interpret=jax.default_backend() == "cpu",
-    )(qp, kp, vp)
-    return jnp.swapaxes(out[:, :T, :].reshape(B, H, T, D), 1, 2)
-
-
-# Sequences up to this length take the whole-sequence VMEM path
-# (scores [T_pad, T_pad] fp32 must fit VMEM: 1024^2 x 4B = 4 MB).
-VMEM_PATH_MAX_T = 1024
-
-
-# ---------------------------------------------------------------------------
-# Differentiable fused attention (custom VJP, whole-sequence VMEM path)
-#
-# XLA's attention backward stores the [T, T] probability matrix as a residual
-# and streams it back through HBM; here the backward kernel RECOMPUTES
-# P = exp(s QK^T - lse) from (q, k, lse) in VMEM and emits dq/dk/dv in one
-# pass — the classic flash-attention backward, specialized to sequences whose
-# score matrix fits VMEM.
-# ---------------------------------------------------------------------------
-
 def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
     # Operand-dtype dots with f32 accumulation (see _vmem_kernel). Each
     # program handles a BLOCK of (batch*head) rows (unrolled python loop):
@@ -186,6 +148,20 @@ def _unprep(x, B, H, T, D):
     return jnp.swapaxes(x[:, :T, :].reshape(B, H, T, D), 1, 2)
 
 
+# Sequences up to this length take the whole-sequence VMEM path
+# (scores [T_pad, T_pad] fp32 must fit VMEM: 1024^2 x 4B = 4 MB).
+VMEM_PATH_MAX_T = 1024
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused attention (custom VJP, whole-sequence VMEM path)
+#
+# XLA's attention backward stores the [T, T] probability matrix as a residual
+# and streams it back through HBM; here the backward kernel RECOMPUTES
+# P = exp(s QK^T - lse) from (q, k, lse) in VMEM and emits dq/dk/dv in one
+# pass — the classic flash-attention backward, specialized to sequences whose
+# score matrix fits VMEM.
+# ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, scale=None):
     """Differentiable fused attention [B, T, H, D] (T <= VMEM_PATH_MAX_T)."""
@@ -510,54 +486,6 @@ def _blocked_bwd(scale, residuals, g):
 blocked_fused_attention.defvjp(_blocked_fwd, _blocked_bwd)
 
 
-def _make_kernel(scale: float, block_k: int, t_real: int):
-    def kernel(q_ref, k_ref, v_ref, o_ref):
-        # q_ref: [1, BQ, D]; k_ref/v_ref: [1, T_pad, D]; o_ref: [1, BQ, D]
-        q = q_ref[0]
-        bq, d = q.shape
-        t_padded = k_ref.shape[1]
-        num_kv = t_padded // block_k
-
-        q_idx = pl.program_id(1)
-        q_pos = q_idx * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-
-        def body(i, carry):
-            m_prev, l_prev, acc = carry
-            k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
-            v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
-
-            s = jax.lax.dot_general(
-                q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [BQ, BK]
-            kv_pos = i * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1
-            )
-            s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc
-
-        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
-        acc0 = jnp.zeros((bq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-
-        out = acc / jnp.maximum(l, 1e-30)
-        out = jnp.where(q_pos < t_real, out, 0.0)  # zero pure-padding rows
-        o_ref[0] = out.astype(o_ref.dtype)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("scale",))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -566,42 +494,11 @@ def flash_attention(
     scale: Optional[float] = None,
 ) -> jax.Array:
     """Flash attention over [B, T, H, D] tensors (BTHD layout, matching
-    jax.nn.dot_product_attention)."""
-    B, T, H, D = q.shape
-    if scale is None:
-        scale = float(D) ** -0.5
-
-    if T <= VMEM_PATH_MAX_T:
-        return _vmem_attention(q, k, v, scale)
-
-    block_q = min(BLOCK_Q, _round_up(T, 8))
-    block_k = min(BLOCK_K, _round_up(T, 8))
-    t_pad = _round_up(T, max(block_q, block_k))
-
-    def _prep(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
-        if t_pad != T:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
-        return x
-
-    qp, kp, vp = _prep(q), _prep(k), _prep(v)
-
-    grid = (B * H, t_pad // block_q)
-    qo_spec = pl.BlockSpec(
-        (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
-    )
-    kv_spec = pl.BlockSpec(
-        (1, t_pad, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    out = pl.pallas_call(
-        _make_kernel(scale, block_k, T),
-        grid=grid,
-        in_specs=[qo_spec, kv_spec, kv_spec],
-        out_specs=qo_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
-        interpret=jax.default_backend() == "cpu",  # tests on virtual CPU mesh
-    )(qp, kp, vp)
-
-    out = out[:, :T, :].reshape(B, H, T, D)
-    return jnp.swapaxes(out, 1, 2)
+    jax.nn.dot_product_attention). Public entry: dispatches to the SAME
+    custom-VJP kernels the models train on (fused_attention for VMEM-size
+    sequences, blocked_fused_attention beyond) — one forward implementation
+    to keep correct, and tests comparing this path against XLA exercise the
+    production kernels."""
+    if q.shape[1] <= VMEM_PATH_MAX_T:
+        return fused_attention(q, k, v, scale)
+    return blocked_fused_attention(q, k, v, scale)

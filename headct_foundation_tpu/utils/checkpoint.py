@@ -192,24 +192,16 @@ def restore_state(
     (jax re-places them lazily on first use under jit in_shardings).
     Returns (state, epoch, best_loss).
     """
-    params = serialization.from_state_dict(
-        jax.tree.map(np.asarray, jax.device_get(state.params)), payload["params"]
-    )
+    # _restore_tree casts each leaf to the TEMPLATE dtype: a checkpoint from
+    # a different-precision run must not silently change the train state's
+    # avals (the jitted step was compiled against the template's dtypes)
     new_state = state.replace(
-        params=jax.tree.map(lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                            state.params, params),
+        params=_restore_tree(state.params, payload["params"]),
         step=payload.get("step", 0),
     )
     if restore_opt and "opt_state" in payload:
-        opt_state = serialization.from_state_dict(
-            jax.device_get(state.opt_state), payload["opt_state"]
-        )
         new_state = new_state.replace(
-            opt_state=jax.tree.map(
-                lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                state.opt_state,
-                opt_state,
-            )
+            opt_state=_restore_tree(state.opt_state, payload["opt_state"])
         )
     # states that carry BatchNorm running stats (downstream classifier)
     # restore them too — evaluating a reloaded model with fresh mean/var

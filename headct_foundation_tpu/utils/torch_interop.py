@@ -276,6 +276,21 @@ def tree_to_torch(
     """
     out: Dict[str, np.ndarray] = {}
 
+    # Sequential index stride for mlp_N Linears depends on the layout:
+    # no-BN [Linear, GELU]* -> Linears at 0,2,4 (stride 2); with BN
+    # [Linear, BN, GELU]* -> Linears at 0,3,6 (stride 3, BNs at 1,4 — the
+    # mlp_bn_ mapping below). Mirrors torch_to_tree's bn_layout pre-scan.
+    def _has_bn(tree: Any) -> bool:
+        if not isinstance(tree, dict):
+            return False
+        return any(
+            str(k).startswith("mlp_bn_") or _has_bn(v)
+            for k, v in tree.items()
+        )
+
+    bn_layout = _has_bn(params) or _has_bn(batch_stats)
+    mlp_stride = 3 if bn_layout else 2
+
     def _patch_kernel_to_conv(k: np.ndarray) -> np.ndarray:
         # [(ph pw pd C), O] -> [O, C, ph, pw, pd]; patch extent is cubic
         pd_c, o = k.shape
@@ -299,7 +314,7 @@ def tree_to_torch(
                     if name.startswith(base + "_") and name[len(base) + 1:].isdigit():
                         torch_name = f"{base}.{name[len(base) + 1:]}"
                 if name.startswith("mlp_") and name[4:].isdigit():
-                    torch_name = f"mlp.{2 * int(name[4:])}"
+                    torch_name = f"mlp.{mlp_stride * int(name[4:])}"
                 if name.startswith("mlp_bn_"):
                     torch_name = f"mlp.{3 * int(name[7:]) + 1}"
                 new_prefix = f"{prefix}.{torch_name}" if prefix else torch_name
@@ -328,22 +343,35 @@ def tree_to_torch(
     return out
 
 
-def _is_torch_checkpoint(path: str) -> bool:
-    """torch.save produces a zip ('PK') or a legacy pickle beginning with a
-    protocol-2 header followed by torch's magic long; our checkpoints are
-    protocol-5 pickles of plain dicts. Try our pickle first."""
+def _classify_checkpoint(path: str):
+    """(is_torch, native_payload_or_None). torch.save produces a zip ('PK')
+    or a legacy pickle needing torch's unpickler; our checkpoints are plain
+    pickles of nested dicts. When the file IS ours, the loaded payload is
+    returned so the caller doesn't unpickle a multi-GB state twice."""
+    import os
+
+    if os.path.isdir(path):  # orbax checkpoint directory
+        return False, None
     with open(path, "rb") as f:
         head = f.read(4)
     if head[:2] == b"PK":
-        return True
+        return True, None
     try:
         import pickle
 
         with open(path, "rb") as f:
             payload = pickle.load(f)
-        return not (isinstance(payload, dict) and ("params" in payload or "state_dict" in payload and isinstance(payload.get("state_dict"), dict)))
+        ours = isinstance(payload, dict) and (
+            "params" in payload
+            or isinstance(payload.get("state_dict"), dict)
+        )
+        return (False, payload) if ours else (True, None)
     except Exception:
-        return True
+        return True, None
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    return _classify_checkpoint(path)[0]
 
 
 def load_pretrained_into(
@@ -357,13 +385,15 @@ def load_pretrained_into(
     (reference load_model semantics, misc.py:72-96). Routed by content, not
     extension: our checkpoints are plain pickles of nested numpy dicts; torch
     checkpoints are zip archives (or legacy tar pickles) of tensors."""
-    if _is_torch_checkpoint(checkpoint_path):
+    is_torch, payload = _classify_checkpoint(checkpoint_path)
+    if is_torch:
         sd = load_torch_state_dict(checkpoint_path, key=state_key)
         tree = torch_to_tree(sd, norm_layer=norm_layer)["params"]
     else:
-        from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+        if payload is None:  # orbax directory path
+            from headct_foundation_tpu.utils.checkpoint import load_checkpoint
 
-        payload = load_checkpoint(checkpoint_path)
+            payload = load_checkpoint(checkpoint_path)
         tree = payload.get(state_key, payload.get("params", payload))
         # our DINO checkpoints nest {'backbone', 'head'}; strip like the
         # reference strips 'backbone.' when loading into a bare ViT

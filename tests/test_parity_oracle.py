@@ -117,7 +117,9 @@ class OracleMAE(nn.Module):
         target = self.patchify(x)
         if self.norm_pix:
             mean = target.mean(dim=-1, keepdim=True)
-            var = target.var(dim=-1, unbiased=False, keepdim=True)
+            # torch default (unbiased=True) — exactly the reference's
+            # target.var(dim=-1) at src/models/mae.py:292
+            var = target.var(dim=-1, keepdim=True)
             target = (target - mean) / torch.sqrt(var + 1e-6)
         loss = ((pred - target) ** 2).mean(dim=-1)
         loss = (loss * mask).sum() / mask.sum()

@@ -232,3 +232,48 @@ def test_merge_params_non_cubic_pos_embed_stays_strict_false():
     merged2, _, unexpected2 = merge_params(target, src_cube)
     assert not unexpected2
     assert merged2["position_embeddings"].shape == (1, 27, 8)
+
+
+def test_bn_dino_head_export_roundtrip():
+    """BN-layout DINO head ([Linear, BN, GELU]* -> Linears at mlp.0/3/6, BNs
+    at mlp.1/4): tree_to_torch must use the stride-3 Sequential indexing —
+    regression for mlp_1 landing on the GELU slot (mlp.2) and mlp_2
+    colliding with mlp_bn_1 at mlp.4."""
+    import jax
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.models.dino_head import DINOHead
+    from headct_foundation_tpu.utils.torch_interop import (
+        torch_to_tree,
+        tree_to_torch,
+    )
+
+    head = DINOHead(in_dim=16, out_dim=32, use_bn=True, nlayers=3,
+                    hidden_dim=24, bottleneck_dim=8)
+    variables = head.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16)), use_running_average=False
+    )
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+
+    sd = tree_to_torch(params, batch_stats=stats)
+    # Linear weights at Sequential indices 0/3/6; BN at 1/4 with weight,
+    # bias AND running stats; nothing on the GELU slots (2/5)
+    assert "mlp.0.weight" in sd and "mlp.3.weight" in sd and "mlp.6.weight" in sd
+    for bn in ("mlp.1", "mlp.4"):
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            assert f"{bn}.{leaf}" in sd, (bn, leaf, sorted(sd))
+    assert not any(k.startswith(("mlp.2.", "mlp.5.")) for k in sd), sorted(sd)
+    # Linear weight must be the kernel transpose, not a BN scale
+    np.testing.assert_allclose(
+        sd["mlp.3.weight"], np.asarray(params["mlp_1"]["kernel"]).T
+    )
+
+    # full round trip back through the importer
+    back = torch_to_tree(sd)
+    jax.tree.map(
+        np.testing.assert_allclose, back["params"], params
+    )
+    jax.tree.map(
+        np.testing.assert_allclose, back["batch_stats"], stats
+    )
