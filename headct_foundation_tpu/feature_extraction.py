@@ -194,7 +194,11 @@ class FeatureExtractor:
                     _drain(keep_last=True)  # ... fetch batch k-1 meanwhile
             _flush()
             _drain()
-        return np.concatenate(feats, axis=0) if feats else np.zeros((0,))
+        if feats:
+            return np.concatenate(feats, axis=0)
+        # keep the [N, hidden] contract for empty inputs (consumers build
+        # similarity matrices from the second axis)
+        return np.zeros((0, self.model.hidden_size), np.float32)
 
     def cls_embedding(self, x: np.ndarray) -> np.ndarray:
         out, _ = self(x)

@@ -54,7 +54,9 @@ def polynomial_schedule_with_warmup(
     def schedule(step: jnp.ndarray) -> jnp.ndarray:
         step = jnp.asarray(step, dtype=jnp.float32)
         warmup = step / jnp.maximum(1.0, num_warmup_steps) * base_lr
-        decay_steps = num_training_steps - num_warmup_steps
+        # max(1, .) guard like the cosine sibling: warmup == total steps
+        # would divide by zero and NaN the LR (jnp.where runs both branches)
+        decay_steps = jnp.maximum(1.0, num_training_steps - num_warmup_steps)
         pct_remaining = 1.0 - (step - num_warmup_steps) / decay_steps
         decay = (base_lr - lr_end) * pct_remaining**power + lr_end
         out = jnp.where(step > num_training_steps, lr_end, decay)

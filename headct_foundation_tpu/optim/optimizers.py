@@ -271,8 +271,9 @@ def get_optimizer(
                 # (reference: src/utils/optimizers.py:305-307).
                 use_pallas=bool(getattr(config.TRAIN, "LION_FUSED", False)),
             ),
-            # lion emits the final delta; flip sign convention only.
-            optax.scale(1.0),
+            # scale_by_lion_with_wd already emits the final signed delta —
+            # no scale_by_learning_rate here (the LR lives inside the
+            # transform's schedule).
         ]
     else:
         raise NotImplementedError(f"Unknown optimizer: {name}")

@@ -99,7 +99,12 @@ def main(config, wandb_run, logger):
         f"Warmup/Total steps: {num_warmup_steps}/{total_steps}"
     )
 
-    rng = jax.random.PRNGKey(config.SEED + jax.process_index())
+    # process-INDEPENDENT key: in multi-controller SPMD every process
+    # must feed identical scalars into the jitted init/steps — a
+    # per-process key would materialize divergent 'replicated' params
+    # (the reference's DDP broadcast has no equivalent here). Host-side
+    # numpy seeds stay per-process for loader sharding.
+    rng = jax.random.PRNGKey(config.SEED)
     state, _, _ = downstream_engine.create_train_state(
         config, mesh, rng, total_steps, num_warmup_steps
     )

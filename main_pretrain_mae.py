@@ -107,7 +107,12 @@ def main(config, wandb_run, logger):
         f"{num_warmup_steps}/{total_steps}, Mesh: {dict(mesh.shape)}"
     )
 
-    rng = jax.random.PRNGKey(config.SEED + jax.process_index())
+    # process-INDEPENDENT key: in multi-controller SPMD every process
+    # must feed identical scalars into the jitted init/steps — a
+    # per-process key would materialize divergent 'replicated' params
+    # (the reference's DDP broadcast has no equivalent here). Host-side
+    # numpy seeds stay per-process for loader sharding.
+    rng = jax.random.PRNGKey(config.SEED)
     state, _, lr_schedule = mae_engine.create_train_state(
         config, mesh, rng, total_steps, num_warmup_steps
     )

@@ -33,15 +33,18 @@ def _chain(op, a, b):
     remote-attached chip block_until_ready can return before the computation
     finishes (ROUND_NOTES), so only a value fetch is a reliable fence, and
     the chain amortizes the relay RTT. Each iteration rolls the operand by a
-    DATA-DEPENDENT amount (out[0,0] % 2) so XLA can neither CSE the matmuls
-    nor break the sequential dependency."""
+    data-dependent amount derived from a FULL reduction of the result — every
+    output element is live, so XLA can neither dead-code-slice the matmul
+    (an earlier version consumed only out[0,0] and the compiled HLO reduced
+    the whole matmul to a [1,1] contraction) nor break the dependency."""
 
     @jax.jit
     def chained(a, b):
         def body(carry, _):
             out = op(carry, b)
-            shift = out[0, 0].astype(jnp.int32) % 2
-            return jnp.roll(carry, shift, axis=0), out[0, 0]
+            tot = jnp.sum(out.astype(jnp.float32))
+            shift = tot.astype(jnp.int32) % 2
+            return jnp.roll(carry, shift, axis=0), tot
         _, vals = jax.lax.scan(body, a, None, length=CHAIN)
         return vals
 

@@ -257,9 +257,12 @@ def main() -> None:
                 pass
             save_nifti(path, np.zeros(shape, np.float32),
                        np.diag(spacing + (1.0,)))
-            np.asarray(extractor(
-                jnp.asarray(extractor.preprocess(path))[None]
-            )[0])
+            # fence the PREPROCESS only: the serving forward always runs at
+            # the padded max_batch shape already compiled above — a batch-1
+            # forward here would compile a second, never-used executable
+            import jax as _jax
+
+            _jax.block_until_ready(extractor.preprocess(path))
         finally:
             os.unlink(path)
         print(f"warmed preprocess for {shape} @ {spacing} mm "
