@@ -183,6 +183,22 @@ def test_average_precision():
     assert np.isnan(average_precision([0, 0, 0]))
 
 
+def test_average_precision_matches_sklearn():
+    # Rank-based AP equals sklearn's threshold-based AP when scores are
+    # unique (continuous similarities have no ties in practice).
+    from sklearn.metrics import average_precision_score
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        scores = rng.randn(50)
+        labels = rng.randint(0, 2, size=50)
+        labels[0] = 1  # at least one positive
+        ours = average_precision(labels[np.argsort(-scores)])
+        assert ours == pytest.approx(
+            average_precision_score(labels, scores), rel=1e-9
+        )
+
+
 def test_retrieval_map_separable_clusters():
     rng = np.random.RandomState(0)
     # two well-separated clusters: positives around +10, negatives around -10
