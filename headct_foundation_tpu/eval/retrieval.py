@@ -5,9 +5,9 @@ The reference reports hemorrhage-subtype retrieval mAP on RSNA/CQ500
 encoder's CLS feature, rank the corpus by cosine similarity for each positive
 query, and average the average precision of retrieving same-label volumes.
 
-Similarities are computed as one [N, D] x [D, N] matmul on device (MXU) —
-the whole corpus-vs-corpus score matrix for the evaluation sets here is tiny
-by TPU standards.
+Similarities are one [N, D] x [D, N] numpy matmul: the evaluation corpora are
+a few thousand volumes (score matrix <100 MB), far below the size where
+shipping it to the TPU would pay for the transfer.
 """
 
 from __future__ import annotations

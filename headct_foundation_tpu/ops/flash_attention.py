@@ -28,8 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128
-BLOCK_K = 128
+# Block-size overrides for the blocked (long-T) path. None = T-aware auto,
+# measured by tools/sweep_blocked_attention.py on v5e at the 192^3 MAE shapes:
+# fwd+bwd per call (B=2): T=1025 3.01 ms @ (256,512) vs 4.04 @ (128,128);
+# T=4097 9.58 ms @ (512,512) vs 27.6 @ (128,128) — 2.9x. Larger KV blocks
+# amortize the online-softmax rescale and keep the MXU on 512-wide dots.
+BLOCK_Q: Optional[int] = None
+BLOCK_K: Optional[int] = None
 _NEG_INF = -1e30
 
 
@@ -385,10 +390,18 @@ def blocked_fused_attention(q, k, v, scale=None):
 
 
 def _blocked_block_sizes(T: int):
-    block_q = min(BLOCK_Q, _round_up(T, 8))
-    block_k = min(BLOCK_K, _round_up(T, 8))
-    t_pad = _round_up(T, max(block_q, block_k))
-    return block_q, block_k, t_pad
+    # Auto defaults from the sweep (see BLOCK_Q note): the shorter stretch
+    # sequences prefer the smaller Q block (less padding at T just past a
+    # power of two), the 4k+ ones the square 512 block.
+    bq = BLOCK_Q if BLOCK_Q else (256 if T <= 2048 else 512)
+    bk = BLOCK_K if BLOCK_K else 512
+    # Power-of-two blocks always divide t_pad (= round_up to the larger
+    # block), so the (t_pad // block) grids tile the sequence exactly.
+    # Never clamp blocks to T: a clamp like min(bq, round_up(T, 8)) yields
+    # non-dividing block sizes (T=300 -> 304) whose grid silently drops the
+    # tail rows.
+    t_pad = _round_up(T, max(bq, bk))
+    return bq, bk, t_pad
 
 
 def _blocked_fwd_impl(q, k, v, scale):
