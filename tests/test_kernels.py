@@ -84,8 +84,9 @@ def test_fused_attention_grads_match_xla():
 @pytest.mark.parametrize("t", [192, 300])
 def test_blocked_fused_attention_grads_match_xla(t):
     """Blocked (long-T) flash attention: forward AND backward vs XLA,
-    including sequence lengths that exercise block padding. Block sizes are
-    128, so t=300 pads to 384 with partial last blocks in both Q and KV."""
+    including sequence lengths that exercise block padding (auto blocks are
+    (256, 512) here, so both t values pad to 512 with a partial tail that
+    the -inf iota mask must cover in Q and KV)."""
     from headct_foundation_tpu.ops.flash_attention import blocked_fused_attention
 
     rng = np.random.RandomState(4)
@@ -112,6 +113,28 @@ def test_blocked_fused_attention_grads_match_xla(t):
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_blocked_block_sizes_tile_the_padded_sequence():
+    """The (t_pad // block) grids must tile t_pad EXACTLY for every T and
+    every override: a block that does not divide t_pad silently drops the
+    tail rows (regression: clamping blocks to round_up(T, 8) gave 304 at
+    T=300)."""
+    import headct_foundation_tpu.ops.flash_attention as fa
+
+    for t in (100, 300, 513, 1025, 2048, 2049, 4097, 8191):
+        bq, bk, t_pad = fa._blocked_block_sizes(t)
+        assert t_pad >= t
+        assert t_pad % bq == 0 and t_pad % bk == 0, (t, bq, bk, t_pad)
+    orig_q, orig_k = fa.BLOCK_Q, fa.BLOCK_K
+    try:
+        for ov in ((128, 128), (512, 1024), (1024, 512)):
+            fa.BLOCK_Q, fa.BLOCK_K = ov
+            for t in (300, 1025, 4097):
+                bq, bk, t_pad = fa._blocked_block_sizes(t)
+                assert t_pad % bq == 0 and t_pad % bk == 0, (ov, t)
+    finally:
+        fa.BLOCK_Q, fa.BLOCK_K = orig_q, orig_k
 
 
 def test_long_sequence_dispatch_uses_blocked_kernel():
