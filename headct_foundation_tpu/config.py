@@ -319,6 +319,13 @@ def _default_config() -> CfgNode:
     _C.PARALLEL.DATA = -1        # -1: all remaining devices on the data axis
     _C.PARALLEL.FSDP = 1         # ZeRO-style parameter sharding axis
     _C.PARALLEL.TENSOR = 1       # tensor-parallel axis (heads / mlp)
+    # Context-parallel (sequence) axis: tokens shard over 'seq' and attention
+    # all-gathers KV over ICI inside a shard_map (ops/attention.py). For the
+    # long-sequence stretch configs (192^3 -> 4096 tokens) where activation
+    # memory, not parameters, bounds the per-chip batch. Requires the Pallas
+    # attention backend (the blocked kernel handles the rectangular
+    # Q-shard x full-KV shapes).
+    _C.PARALLEL.SEQ = 1
     _C.PARALLEL.REMAT = False    # rematerialize transformer blocks
     # Pallas/XLA attention crossover: sequences shorter than this use XLA's
     # fused attention (the per-(b,h)-program Pallas kernels are launch-bound

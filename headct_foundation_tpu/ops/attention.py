@@ -75,7 +75,9 @@ def attention_mesh(mesh):
     GSPMD cannot partition a pallas_call — without a mesh, a sharded batch
     gets ALL-GATHERED around the kernel (verified in tests). With a mesh, the
     kernel is shard_map-ped: batch over ('data','fsdp'), heads over 'tensor'
-    (the Megatron head split).
+    (the Megatron head split), and — when the mesh has a 'seq' axis > 1 —
+    tokens over 'seq' with the KV all-gathered inside (context parallelism
+    for the long-sequence configs).
 
     The mesh is read at TRACE time, so the engines enter this context
     *inside* their jitted step functions — every trace and retrace sees the
@@ -125,6 +127,37 @@ def _pallas_sharded(q, k, v, scale):
         return kernel(q, k, v, scale)
 
     from jax.sharding import PartitionSpec as P
+
+    seq = int(mesh.shape.get("seq", 1))
+    if seq > 1:
+        # Context parallelism: tokens shard over the 'seq' axis, each device
+        # runs its Q shard against the KV all-gathered over ICI inside the
+        # shard_map (at ViT scales — <= tens of k tokens — gathered KV is
+        # tiny, so the KV-all-gather layout beats a ring by keeping every
+        # step a single large MXU-friendly kernel; AD through all_gather
+        # gives the dK/dV reduce-scatter for free). T pads to a multiple of
+        # the axis; kv_len masks the padded keys inside the kernel, and the
+        # padded Q rows are sliced off (their cotangent is zero, so they
+        # contribute nothing to the backward).
+        B, T, H, D = q.shape
+        t_pad = -(-T // seq) * seq
+        if t_pad != T:
+            import jax.numpy as jnp
+
+            padw = ((0, 0), (0, t_pad - T), (0, 0), (0, 0))
+            q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+        spec = P(("data", "fsdp"), "seq", "tensor", None)
+
+        def body(ql, kl, vl):
+            kf = jax.lax.all_gather(kl, "seq", axis=1, tiled=True)
+            vf = jax.lax.all_gather(vl, "seq", axis=1, tiled=True)
+            return blocked_fused_attention(ql, kf, vf, scale, T)
+
+        out = jax.shard_map(
+            body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
+        return out[:, :T] if t_pad != T else out
 
     spec = P(("data", "fsdp"), None, "tensor", None)
     fn = jax.shard_map(

@@ -382,93 +382,111 @@ def _blocked_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def blocked_fused_attention(q, k, v, scale=None):
-    """Differentiable blocked flash attention [B, T, H, D] for long T."""
-    o, _ = _blocked_fwd_impl(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def blocked_fused_attention(q, k, v, scale=None, kv_len=None):
+    """Differentiable blocked flash attention for long sequences.
+
+    q is [B, Tq, H, D]; k/v are [B, Tk, H, D] — rectangular (Tq != Tk)
+    shapes are supported, which is what the context-parallel path needs
+    (each device holds a token shard of Q against the all-gathered KV;
+    see ops/attention.py). ``kv_len`` (static int) optionally marks the
+    REAL key/value length when the caller padded Tk (e.g. to a multiple of
+    the 'seq' mesh axis): positions >= kv_len are masked to -inf so padded
+    keys carry zero probability. Defaults to Tk.
+    """
+    o, _ = _blocked_fwd_impl(q, k, v, scale, kv_len)
     return o
 
 
-def _blocked_block_sizes(T: int):
-    # Auto defaults from the sweep (see BLOCK_Q note): the shorter stretch
-    # sequences prefer the smaller Q block (less padding at T just past a
-    # power of two), the 4k+ ones the square 512 block.
-    bq = BLOCK_Q if BLOCK_Q else (256 if T <= 2048 else 512)
+def _blocked_block_sizes(Tq: int, Tk: Optional[int] = None):
+    """(block_q, block_k, t_pad_q, t_pad_k) for the blocked grids.
+
+    Auto defaults from the sweep (see BLOCK_Q note): the shorter stretch
+    sequences prefer the smaller Q block (less padding at T just past a
+    power of two), the 4k+ ones the square 512 block. Q and KV pad
+    independently to their own block so the (t_pad // block) grids tile
+    each sequence exactly. Never clamp blocks to T: a clamp like
+    min(bq, round_up(T, 8)) yields non-dividing block sizes (T=300 -> 304)
+    whose grid silently drops the tail rows.
+    """
+    Tk = Tq if Tk is None else Tk
+    bq = BLOCK_Q if BLOCK_Q else (256 if Tq <= 2048 else 512)
     bk = BLOCK_K if BLOCK_K else 512
-    # Power-of-two blocks always divide t_pad (= round_up to the larger
-    # block), so the (t_pad // block) grids tile the sequence exactly.
-    # Never clamp blocks to T: a clamp like min(bq, round_up(T, 8)) yields
-    # non-dividing block sizes (T=300 -> 304) whose grid silently drops the
-    # tail rows.
-    t_pad = _round_up(T, max(bq, bk))
-    return bq, bk, t_pad
+    return bq, bk, _round_up(Tq, bq), _round_up(Tk, bk)
 
 
-def _blocked_fwd_impl(q, k, v, scale):
-    B, T, H, D = q.shape
+def _blocked_fwd_impl(q, k, v, scale, kv_len=None):
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    t_real = Tk if kv_len is None else int(kv_len)
     s = float(D) ** -0.5 if scale is None else scale
-    block_q, block_k, t_pad = _blocked_block_sizes(T)
-    qp = _prep_bhtd(q, B, H, T, D, t_pad)
-    kp = _prep_bhtd(k, B, H, T, D, t_pad)
-    vp = _prep_bhtd(v, B, H, T, D, t_pad)
+    block_q, block_k, t_pad_q, t_pad_k = _blocked_block_sizes(Tq, Tk)
+    qp = _prep_bhtd(q, B, H, Tq, D, t_pad_q)
+    kp = _prep_bhtd(k, B, H, Tk, D, t_pad_k)
+    vp = _prep_bhtd(v, B, H, Tk, D, t_pad_k)
 
-    grid = (B * H, t_pad // block_q)
+    grid = (B * H, t_pad_q // block_q)
     qo_spec = pl.BlockSpec(
         (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
     )
     kv_spec = pl.BlockSpec(
-        (1, t_pad, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+        (1, t_pad_k, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
     )
     lse_spec = pl.BlockSpec(
         (1, 1, block_q), lambda bh, i: (bh, 0, i), memory_space=pltpu.VMEM
     )
     o, lse = pl.pallas_call(
-        functools.partial(_blocked_fwd_kernel, scale=s, block_k=block_k, t_real=T),
+        functools.partial(
+            _blocked_fwd_kernel, scale=s, block_k=block_k, t_real=t_real
+        ),
         grid=grid,
         in_specs=[qo_spec, kv_spec, kv_spec],
         out_specs=(qo_spec, lse_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, 1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, t_pad_q, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, t_pad_q), jnp.float32),
         ),
         interpret=jax.default_backend() == "cpu",
     )(qp, kp, vp)
-    return _unprep(o, B, H, T, D), (qp, kp, vp, o, lse)
+    return _unprep(o, B, H, Tq, D), (qp, kp, vp, o, lse)
 
 
-def _blocked_fwd(q, k, v, scale):
-    out, res = _blocked_fwd_impl(q, k, v, scale)
-    B, T, H, D = q.shape
-    return out, (res, (B, T, H, D))
+def _blocked_fwd(q, k, v, scale, kv_len):
+    out, res = _blocked_fwd_impl(q, k, v, scale, kv_len)
+    B, Tq, H, D = q.shape
+    return out, (res, (B, Tq, k.shape[1], H, D))
 
 
-def _blocked_bwd(scale, residuals, g):
-    (qp, kp, vp, o, lse), (B, T, H, D) = residuals
+def _blocked_bwd(scale, kv_len, residuals, g):
+    (qp, kp, vp, o, lse), (B, Tq, Tk, H, D) = residuals
+    t_real = Tk if kv_len is None else int(kv_len)
     s = float(D) ** -0.5 if scale is None else scale
-    block_q, block_k, t_pad = _blocked_block_sizes(T)
-    gp = _prep_bhtd(g, B, H, T, D, t_pad)
+    block_q, block_k, t_pad_q, t_pad_k = _blocked_block_sizes(Tq, Tk)
+    gp = _prep_bhtd(g, B, H, Tq, D, t_pad_q)
     # delta_i = dO_i . O_i (padded rows: dO = 0 -> delta = 0)
     delta = jnp.sum(gp.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    delta = delta[:, None, :]                         # [BH, 1, t_pad]
+    delta = delta[:, None, :]                         # [BH, 1, t_pad_q]
 
-    full_spec = pl.BlockSpec(
-        (1, t_pad, D), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
+    q_full_spec = pl.BlockSpec(
+        (1, t_pad_q, D), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
     )
     full_row = pl.BlockSpec(
-        (1, 1, t_pad), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, t_pad_q), lambda bh, j: (bh, 0, 0), memory_space=pltpu.VMEM
     )
     kv_blk_spec = pl.BlockSpec(
         (1, block_k, D), lambda bh, j: (bh, j, 0), memory_space=pltpu.VMEM
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_blocked_dkv_kernel, scale=s, block_q=block_q, t_real=T),
-        grid=(B * H, t_pad // block_k),
-        in_specs=[full_spec, kv_blk_spec, kv_blk_spec, full_spec, full_row,
-                  full_row],
+        functools.partial(
+            _blocked_dkv_kernel, scale=s, block_q=block_q, t_real=t_real
+        ),
+        grid=(B * H, t_pad_k // block_k),
+        in_specs=[q_full_spec, kv_blk_spec, kv_blk_spec, q_full_spec,
+                  full_row, full_row],
         out_specs=(kv_blk_spec, kv_blk_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, t_pad, D), kp.dtype),
-            jax.ShapeDtypeStruct((B * H, t_pad, D), vp.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad_k, D), kp.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad_k, D), vp.dtype),
         ),
         interpret=jax.default_backend() == "cpu",
     )(qp, kp, vp, gp, lse, delta)
@@ -476,23 +494,28 @@ def _blocked_bwd(scale, residuals, g):
     q_blk_spec = pl.BlockSpec(
         (1, block_q, D), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
     )
+    kv_full_spec = pl.BlockSpec(
+        (1, t_pad_k, D), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
     row_blk = pl.BlockSpec(
         (1, 1, block_q), lambda bh, i: (bh, 0, i), memory_space=pltpu.VMEM
     )
     dq = pl.pallas_call(
-        functools.partial(_blocked_dq_kernel, scale=s, block_k=block_k, t_real=T),
-        grid=(B * H, t_pad // block_q),
-        in_specs=[q_blk_spec, full_spec, full_spec, q_blk_spec, row_blk,
+        functools.partial(
+            _blocked_dq_kernel, scale=s, block_k=block_k, t_real=t_real
+        ),
+        grid=(B * H, t_pad_q // block_q),
+        in_specs=[q_blk_spec, kv_full_spec, kv_full_spec, q_blk_spec, row_blk,
                   row_blk],
         out_specs=q_blk_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad_q, D), qp.dtype),
         interpret=jax.default_backend() == "cpu",
     )(qp, kp, vp, gp, lse, delta)
 
     return (
-        _unprep(dq, B, H, T, D),
-        _unprep(dk, B, H, T, D),
-        _unprep(dv, B, H, T, D),
+        _unprep(dq, B, H, Tq, D),
+        _unprep(dk, B, H, Tk, D),
+        _unprep(dv, B, H, Tk, D),
     )
 
 
@@ -511,7 +534,8 @@ def flash_attention(
     custom-VJP kernels the models train on (fused_attention for VMEM-size
     sequences, blocked_fused_attention beyond) — one forward implementation
     to keep correct, and tests comparing this path against XLA exercise the
-    production kernels."""
-    if q.shape[1] <= VMEM_PATH_MAX_T:
+    production kernels. Rectangular (Tq != Tk) inputs always take the
+    blocked kernel (the whole-sequence VMEM path is square-only)."""
+    if q.shape[1] == k.shape[1] and q.shape[1] <= VMEM_PATH_MAX_T:
         return fused_attention(q, k, v, scale)
     return blocked_fused_attention(q, k, v, scale)

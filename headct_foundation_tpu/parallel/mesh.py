@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "fsdp", "tensor")
+MESH_AXES = ("data", "fsdp", "seq", "tensor")
 
 
 def respect_jax_platforms_env() -> None:
@@ -45,21 +45,27 @@ def make_mesh(
     data: int = -1,
     fsdp: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'fsdp', 'tensor') mesh over the available devices."""
+    """Build a ('data', 'fsdp', 'seq', 'tensor') mesh over the devices.
+
+    The 'seq' axis is context parallelism for the long-sequence (192^3+)
+    configs: activations shard over tokens, and attention all-gathers KV
+    over the axis inside a shard_map (ops/attention.py). seq=1 (the
+    default) reproduces the previous three-axis layout exactly.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor <= n, (
-        f"mesh {data}x{fsdp}x{tensor} needs more than {n} devices"
+        assert n % (fsdp * seq * tensor) == 0, (n, fsdp, seq, tensor)
+        data = n // (fsdp * seq * tensor)
+    total = data * fsdp * seq * tensor
+    assert total <= n, (
+        f"mesh {data}x{fsdp}x{seq}x{tensor} needs more than {n} devices"
     )
-    dev_array = np.asarray(devices[: data * fsdp * tensor]).reshape(
-        data, fsdp, tensor
-    )
+    dev_array = np.asarray(devices[:total]).reshape(data, fsdp, seq, tensor)
     return Mesh(dev_array, MESH_AXES)
 
 
@@ -68,6 +74,7 @@ def mesh_from_config(config, devices: Optional[Sequence[jax.Device]] = None) -> 
         data=config.PARALLEL.DATA,
         fsdp=config.PARALLEL.FSDP,
         tensor=config.PARALLEL.TENSOR,
+        seq=getattr(config.PARALLEL, "SEQ", 1),
         devices=devices,
     )
 

@@ -85,8 +85,8 @@ def test_fused_attention_grads_match_xla():
 def test_blocked_fused_attention_grads_match_xla(t):
     """Blocked (long-T) flash attention: forward AND backward vs XLA,
     including sequence lengths that exercise block padding (auto blocks are
-    (256, 512) here, so both t values pad to 512 with a partial tail that
-    the -inf iota mask must cover in Q and KV)."""
+    (256, 512) here, so Q pads to 256/512 and KV to 512 with partial tails
+    that the -inf iota mask must cover in Q and KV)."""
     from headct_foundation_tpu.ops.flash_attention import blocked_fused_attention
 
     rng = np.random.RandomState(4)
@@ -123,16 +123,17 @@ def test_blocked_block_sizes_tile_the_padded_sequence():
     import headct_foundation_tpu.ops.flash_attention as fa
 
     for t in (100, 300, 513, 1025, 2048, 2049, 4097, 8191):
-        bq, bk, t_pad = fa._blocked_block_sizes(t)
-        assert t_pad >= t
-        assert t_pad % bq == 0 and t_pad % bk == 0, (t, bq, bk, t_pad)
+        for tk in (None, 70, 4096):
+            bq, bk, tq_pad, tk_pad = fa._blocked_block_sizes(t, tk)
+            assert tq_pad >= t and tk_pad >= (tk or t)
+            assert tq_pad % bq == 0 and tk_pad % bk == 0, (t, tk, bq, bk)
     orig_q, orig_k = fa.BLOCK_Q, fa.BLOCK_K
     try:
         for ov in ((128, 128), (512, 1024), (1024, 512)):
             fa.BLOCK_Q, fa.BLOCK_K = ov
             for t in (300, 1025, 4097):
-                bq, bk, t_pad = fa._blocked_block_sizes(t)
-                assert t_pad % bq == 0 and t_pad % bk == 0, (ov, t)
+                bq, bk, tq_pad, tk_pad = fa._blocked_block_sizes(t)
+                assert tq_pad % bq == 0 and tk_pad % bk == 0, (ov, t)
     finally:
         fa.BLOCK_Q, fa.BLOCK_K = orig_q, orig_k
 
