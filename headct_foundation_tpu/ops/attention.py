@@ -31,10 +31,15 @@ _BACKEND = None
 _MESH = None
 
 
-def set_attention_backend(name: str) -> None:
+def set_attention_backend(name: Optional[str]) -> Optional[str]:
+    """Set the backend ("xla" | "pallas" | None = auto). Returns the PREVIOUS
+    raw value so callers that flip the backend temporarily can restore the
+    exact prior state (including auto) instead of pinning a concrete one."""
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", None), name
+    prev = _BACKEND
     _BACKEND = name
+    return prev
 
 
 def get_attention_backend() -> str:
@@ -53,10 +58,13 @@ import os as _os
 _PALLAS_MIN_T: Optional[int] = None
 
 
-def set_pallas_min_t(n: Optional[int]) -> None:
-    """Set the Pallas/XLA crossover sequence length (None = env/default)."""
+def set_pallas_min_t(n: Optional[int]) -> Optional[int]:
+    """Set the Pallas/XLA crossover sequence length (None = env/default).
+    Returns the previous raw value for save/restore."""
     global _PALLAS_MIN_T
+    prev = _PALLAS_MIN_T
     _PALLAS_MIN_T = None if n is None else int(n)
+    return prev
 
 
 def pallas_min_t() -> int:
@@ -116,11 +124,13 @@ def _pallas_sharded(q, k, v, scale):
         fused_attention,
     )
 
-    # Whole-sequence VMEM kernel for short T; blocked streaming kernel (both
-    # with custom VJPs — fully differentiable) beyond it.
-    kernel = fused_attention if q.shape[1] <= VMEM_PATH_MAX_T else (
-        blocked_fused_attention
-    )
+    # Whole-sequence VMEM kernel for short square T; blocked streaming kernel
+    # (both with custom VJPs — fully differentiable) beyond it, and for
+    # rectangular (Tq != Tk) cross-attention (the VMEM path is square-only).
+    if q.shape[1] == k.shape[1] and q.shape[1] <= VMEM_PATH_MAX_T:
+        kernel = fused_attention
+    else:
+        kernel = blocked_fused_attention
 
     mesh = _current_mesh()
     if mesh is None or all(int(s) == 1 for s in mesh.shape.values()):
@@ -135,29 +145,35 @@ def _pallas_sharded(q, k, v, scale):
         # shard_map (at ViT scales — <= tens of k tokens — gathered KV is
         # tiny, so the KV-all-gather layout beats a ring by keeping every
         # step a single large MXU-friendly kernel; AD through all_gather
-        # gives the dK/dV reduce-scatter for free). T pads to a multiple of
-        # the axis; kv_len masks the padded keys inside the kernel, and the
-        # padded Q rows are sliced off (their cotangent is zero, so they
-        # contribute nothing to the backward).
-        B, T, H, D = q.shape
-        t_pad = -(-T // seq) * seq
-        if t_pad != T:
-            import jax.numpy as jnp
+        # gives the dK/dV reduce-scatter for free). Tq and Tk pad
+        # independently to multiples of the axis; kv_len masks the padded
+        # keys inside the kernel, and the padded Q rows are sliced off
+        # (their cotangent is zero, so they contribute nothing to the
+        # backward). Rectangular (Tq != Tk) inputs are supported: each
+        # length pads on its own and the real Tk is what kv_len masks to.
+        import jax.numpy as jnp
 
-            padw = ((0, 0), (0, t_pad - T), (0, 0), (0, 0))
-            q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+        B, Tq, H, D = q.shape
+        Tk = k.shape[1]
+        tq_pad = -(-Tq // seq) * seq
+        tk_pad = -(-Tk // seq) * seq
+        if tq_pad != Tq:
+            q = jnp.pad(q, ((0, 0), (0, tq_pad - Tq), (0, 0), (0, 0)))
+        if tk_pad != Tk:
+            padw = ((0, 0), (0, tk_pad - Tk), (0, 0), (0, 0))
+            k, v = jnp.pad(k, padw), jnp.pad(v, padw)
         spec = P(("data", "fsdp"), "seq", "tensor", None)
 
         def body(ql, kl, vl):
             kf = jax.lax.all_gather(kl, "seq", axis=1, tiled=True)
             vf = jax.lax.all_gather(vl, "seq", axis=1, tiled=True)
-            return blocked_fused_attention(ql, kf, vf, scale, T)
+            return blocked_fused_attention(ql, kf, vf, scale, Tk)
 
         out = jax.shard_map(
             body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_vma=False,
         )(q, k, v)
-        return out[:, :T] if t_pad != T else out
+        return out[:, :Tq] if tq_pad != Tq else out
 
     spec = P(("data", "fsdp"), None, "tensor", None)
     fn = jax.shard_map(

@@ -419,6 +419,9 @@ def _blocked_fwd_impl(q, k, v, scale, kv_len=None):
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     t_real = Tk if kv_len is None else int(kv_len)
+    # kv_len > Tk would UN-mask the kernel's own zero-padded rows (score 0,
+    # not -inf), silently giving them probability mass — fail loudly instead.
+    assert 1 <= t_real <= Tk, (t_real, Tk)
     s = float(D) ** -0.5 if scale is None else scale
     block_q, block_k, t_pad_q, t_pad_k = _blocked_block_sizes(Tq, Tk)
     qp = _prep_bhtd(q, B, H, Tq, D, t_pad_q)

@@ -9,6 +9,8 @@ masking of caller-padded keys, and (c) the end-to-end seq-parallel path —
 values AND grads — against the unsharded XLA reference.
 """
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,24 @@ from headct_foundation_tpu.ops.flash_attention import blocked_fused_attention
 
 def _rand(rng, *shape):
     return jnp.asarray(rng.randn(*shape), dtype=jnp.float32)
+
+
+@contextlib.contextmanager
+def _pallas_attention(min_t):
+    """Force the pallas backend + crossover, restoring the prior raw values
+    (set_* return the previous setting — including None = auto)."""
+    from headct_foundation_tpu.ops.attention import (
+        set_attention_backend,
+        set_pallas_min_t,
+    )
+
+    prev_backend = set_attention_backend("pallas")
+    prev_min_t = set_pallas_min_t(min_t)
+    try:
+        yield
+    finally:
+        set_attention_backend(prev_backend)
+        set_pallas_min_t(prev_min_t)
 
 
 @pytest.mark.parametrize("tq,tk", [(100, 300), (300, 100), (513, 70)])
@@ -94,8 +114,6 @@ def test_seq_parallel_attention_matches_xla():
     from headct_foundation_tpu.ops.attention import (
         attention_mesh,
         dot_product_attention,
-        set_attention_backend,
-        set_pallas_min_t,
     )
     from headct_foundation_tpu.parallel.mesh import make_mesh
 
@@ -107,18 +125,12 @@ def test_seq_parallel_attention_matches_xla():
     v = _rand(rng, B, T, H, D)
     w = _rand(rng, B, T, H, D)
 
-    set_attention_backend("pallas")
-    set_pallas_min_t(16)
-    try:
-        with attention_mesh(mesh):
-            out = dot_product_attention(q, k, v)
-            g = jax.grad(
-                lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) * w),
-                argnums=(0, 1, 2),
-            )(q, k, v)
-    finally:
-        set_attention_backend("xla")
-        set_pallas_min_t(None)
+    with _pallas_attention(16), attention_mesh(mesh):
+        out = dot_product_attention(q, k, v)
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) * w),
+            argnums=(0, 1, 2),
+        )(q, k, v)
 
     ref = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -141,8 +153,6 @@ def test_seq_parallel_keeps_tokens_sharded():
     from headct_foundation_tpu.ops.attention import (
         attention_mesh,
         dot_product_attention,
-        set_attention_backend,
-        set_pallas_min_t,
     )
     from headct_foundation_tpu.parallel.mesh import make_mesh
 
@@ -151,9 +161,7 @@ def test_seq_parallel_keeps_tokens_sharded():
     B, T, H, D = 2, 64, 2, 16  # T divisible by seq: no pad/slice at the end
     q = _rand(rng, B, T, H, D)
 
-    set_attention_backend("pallas")
-    set_pallas_min_t(16)
-    try:
+    with _pallas_attention(16):
         def f(q):
             with attention_mesh(mesh):
                 return dot_product_attention(q, q, q)
@@ -161,9 +169,63 @@ def test_seq_parallel_keeps_tokens_sharded():
         out = jax.jit(f)(q)
         spec = out.sharding.spec
         assert len(spec) >= 2 and spec[1] == "seq", spec
+
+
+@pytest.mark.parametrize("mesh_kw", [dict(data=2, seq=2), dict(data=4)])
+def test_sharded_rectangular_attention_matches_xla(mesh_kw):
+    """Rectangular (Tq != Tk) cross-attention through the SHARDED wrapper:
+    regression for two dispatch bugs — (a) the seq-axis branch derived pads
+    and kv_len from Tq only (silently masking keys past Tq), (b) the non-seq
+    branch routed rectangular shapes to the square-only VMEM kernel (opaque
+    reshape crash). Tq=6, Tk=64: Tq != Tk, Tq not divisible by seq=2 pads,
+    and Tq <= VMEM_PATH_MAX_T so (b)'s old dispatch would have picked the
+    square kernel."""
+    from headct_foundation_tpu.ops.attention import (
+        attention_mesh,
+        dot_product_attention,
+    )
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(**mesh_kw)
+    rng = np.random.RandomState(5)
+    B, Tq, Tk, H, D = 4, 7, 64, 2, 16
+    q = _rand(rng, B, Tq, H, D)
+    k = _rand(rng, B, Tk, H, D)
+    v = _rand(rng, B, Tk, H, D)
+
+    with _pallas_attention(4), attention_mesh(mesh):
+        out = dot_product_attention(q, k, v)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_attention_rejects_oversized_kv_len():
+    """kv_len > Tk would un-mask the kernel's own zero padding (score 0, not
+    -inf) and silently leak probability mass — it must fail loudly."""
+    rng = np.random.RandomState(6)
+    q = _rand(rng, 1, 8, 1, 16)
+    k = _rand(rng, 1, 8, 1, 16)
+    with pytest.raises(AssertionError):
+        blocked_fused_attention(q, k, k, None, 9)
+
+
+def test_set_attention_backend_returns_previous_for_restore():
+    """Temporary backend flips must be restorable to the exact prior raw
+    state, including None (= auto) — a dryrun/test that pins 'xla' on exit
+    would silently disable the Pallas kernels for the rest of the process."""
+    import headct_foundation_tpu.ops.attention as att
+
+    orig = att._BACKEND
+    try:
+        prev = att.set_attention_backend("pallas")
+        assert prev == orig
+        assert att.set_attention_backend(prev) == "pallas"
+        assert att._BACKEND == orig
+        p1 = att.set_pallas_min_t(7)
+        assert att.set_pallas_min_t(p1) == 7
     finally:
-        set_attention_backend("xla")
-        set_pallas_min_t(None)
+        att._BACKEND = orig
 
 
 def test_mesh_seq_axis_defaults_compatible():
