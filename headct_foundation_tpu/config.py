@@ -326,6 +326,14 @@ def _default_config() -> CfgNode:
     # attention backend (the blocked kernel handles the rectangular
     # Q-shard x full-KV shapes).
     _C.PARALLEL.SEQ = 1
+    # Pipeline-parallel axis: the MAE encoder/decoder trunks run as a
+    # GPipe-style fill-drain pipeline of PIPE stages (parallel/pipeline.py);
+    # block params are stacked [L, ...] and sharded over 'pipe' (each stage
+    # holds L/PIPE layers + their optimizer state). For models whose layer
+    # stack outgrows one chip's HBM. Requires FSDP=SEQ=TENSOR=1 (v1) and
+    # DROPOUT_RATE=0. PIPE_MICROBATCH microbatches per step (0 = PIPE).
+    _C.PARALLEL.PIPE = 1
+    _C.PARALLEL.PIPE_MICROBATCH = 0
     _C.PARALLEL.REMAT = False    # rematerialize transformer blocks
     # Pallas/XLA attention crossover: sequences shorter than this use XLA's
     # fused attention (the per-(b,h)-program Pallas kernels are launch-bound

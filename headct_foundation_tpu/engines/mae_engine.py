@@ -107,16 +107,41 @@ def create_train_state(
         config, config.TRAIN.BASE_LR, num_warmup_steps, total_steps, config.TRAIN.MIN_LR
     )
 
+    pipe = int(getattr(config.PARALLEL, "PIPE", 1))
+    if pipe > 1:
+        # v1 pipeline boundary checks (see parallel/pipeline.py docstring).
+        if config.MAE.DROPOUT_RATE > 0:
+            raise ValueError("PARALLEL.PIPE > 1 requires MAE.DROPOUT_RATE=0")
+        if (config.MAE.ENCODER_DEPTH % pipe or config.MAE.DECODER_DEPTH % pipe):
+            raise ValueError(
+                f"PIPE={pipe} must divide encoder depth "
+                f"{config.MAE.ENCODER_DEPTH} and decoder depth "
+                f"{config.MAE.DECODER_DEPTH}"
+            )
+
     def _init(rng):
         # init traces use batch-1 samples; no shard_map around attention
         with attention_mesh(None):
             variables = model.init(
                 {"params": rng, "mask": jax.random.fold_in(rng, 1)}, sample
             )
-        return variables["params"]
+        params = variables["params"]
+        if pipe > 1:
+            from headct_foundation_tpu.parallel.pipeline import stack_layer_params
+
+            params = stack_layer_params(params, "blocks", config.MAE.ENCODER_DEPTH)
+            params = stack_layer_params(
+                params, "decoder_blocks", config.MAE.DECODER_DEPTH
+            )
+        return params
 
     params_shape = jax.eval_shape(_init, rng)
-    p_shardings = param_shardings(params_shape, mesh)
+    if pipe > 1:
+        from headct_foundation_tpu.parallel.pipeline import pipeline_rules
+
+        p_shardings = param_shardings(params_shape, mesh, pipeline_rules())
+    else:
+        p_shardings = param_shardings(params_shape, mesh)
     params = jax.jit(_init, out_shardings=p_shardings)(rng)
 
     mask = mae_trainable_mask(params, config.MAE.POS_EMBED)
@@ -158,7 +183,61 @@ def _opt_state_shardings(tx, params_shape, p_shardings, mesh):
     return jax.tree_util.tree_map_with_path(_assign, opt_shape)
 
 
-def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1):
+def _make_pipelined_loss(config, mesh: Mesh, dtype=jnp.bfloat16):
+    """MAE loss with the encoder/decoder trunks run as 'pipe'-axis pipelines.
+
+    The stacked block params live in the state as params['blocks'] /
+    params['decoder_blocks'] (see create_train_state); everything around the
+    trunks reuses the model's own prefix/suffix methods under GSPMD, so the
+    math is identical to the unpipelined forward (pinned by tests)."""
+    from headct_foundation_tpu.models.attention import AttentionBlock
+    from headct_foundation_tpu.parallel.pipeline import pipeline_apply
+
+    n_micro = int(getattr(config.PARALLEL, "PIPE_MICROBATCH", 0) or 0)
+
+    def _block(embed_dim, mlp_dim, heads):
+        return AttentionBlock(
+            hidden_size=embed_dim,
+            mlp_dim=mlp_dim,
+            num_heads=heads,
+            dropout_rate=0.0,  # PIPE requires dropout 0 (create_train_state)
+            qkv_bias=config.MAE.USE_BIAS,
+            norm_layer=config.MAE.NORM_LAYER,
+            remat_mlp=config.PARALLEL.REMAT,
+            dtype=dtype,
+        )
+
+    enc_block = _block(config.MAE.ENCODER_EMBED_DIM, config.MAE.ENCODER_MLP_DIM,
+                       config.MAE.ENCODER_NUM_HEADS)
+    dec_block = _block(config.MAE.DECODER_EMBED_DIM, config.MAE.DECODER_MLP_DIM,
+                       config.MAE.DECODER_NUM_HEADS)
+
+    def enc_apply(p, x):
+        return enc_block.apply({"params": p}, x, True)
+
+    def dec_apply(p, x):
+        return dec_block.apply({"params": p}, x, True)
+
+    def loss_fn(apply_fn, params, batch, mask_rng):
+        xe, mask, ids = apply_fn(
+            {"params": params}, batch, mask_rng, True, method="encode_prefix"
+        )
+        xt = pipeline_apply(mesh, params["blocks"], xe, enc_apply, n_micro)
+        latent = apply_fn({"params": params}, xt, method="encode_suffix")
+        dec_in = apply_fn({"params": params}, latent, ids, method="decode_prefix")
+        dec_t = pipeline_apply(
+            mesh, params["decoder_blocks"], dec_in, dec_apply, n_micro
+        )
+        pred = apply_fn({"params": params}, dec_t, method="decode_suffix")
+        return apply_fn(
+            {"params": params}, batch, pred, mask, method="forward_loss"
+        )
+
+    return loss_fn
+
+
+def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
+                    config=None):
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
@@ -170,9 +249,13 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1):
     f32-accumulated mean gradient drives ONE optimizer update — activation
     memory is per-micro-batch, so effective batches beyond HBM capacity
     train at full numerical fidelity (a TPU extension; the reference has no
-    accumulation).
+    accumulation). When ``config`` sets PARALLEL.PIPE > 1 the forward runs
+    the pipelined trunks (state must come from a PIPE create_train_state).
     """
     from headct_foundation_tpu.ops.attention import attention_mesh
+
+    pipe = int(getattr(config.PARALLEL, "PIPE", 1)) if config is not None else 1
+    pipelined_loss = _make_pipelined_loss(config, mesh) if pipe > 1 else None
 
     def _micro_loss(state, params, batch, step_rng, micro_idx):
         micro_rng = jax.random.fold_in(step_rng, micro_idx)
@@ -182,6 +265,8 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1):
 
             aug_rng = jax.random.fold_in(micro_rng, 7)
             batch = mae_augment(aug_rng, batch)
+        if pipelined_loss is not None:
+            return pipelined_loss(state.apply_fn, params, batch, mask_rng)
         loss, _, _ = state.apply_fn(
             {"params": params},
             batch,
@@ -245,12 +330,19 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1):
     )
 
 
-def make_eval_step(mesh: Mesh):
+def make_eval_step(mesh: Mesh, config=None):
     from headct_foundation_tpu.ops.attention import attention_mesh
+
+    pipe = int(getattr(config.PARALLEL, "PIPE", 1)) if config is not None else 1
+    pipelined_loss = _make_pipelined_loss(config, mesh) if pipe > 1 else None
 
     def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         with attention_mesh(mesh):
             batch = batch.astype(jnp.bfloat16)
+            if pipelined_loss is not None:
+                return {"loss": pipelined_loss(
+                    state.apply_fn, state.params, batch, rng
+                )}
             loss, _, _ = state.apply_fn(
                 {"params": state.params}, batch, deterministic=True,
                 rngs={"mask": rng},

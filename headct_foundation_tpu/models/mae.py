@@ -166,9 +166,17 @@ class MaskedAutoencoderViT(nn.Module):
     def patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         return patchify3d(x, self._patch_size)
 
-    def forward_encoder(
+    # The encoder/decoder each split into prefix -> trunk -> suffix so the
+    # pipeline-parallel train step (parallel/pipeline.py) can run the trunk
+    # (the homogeneous block stack) under its own shard_map schedule while
+    # everything else stays ordinary GSPMD. forward_encoder/forward_decoder
+    # compose the pieces — behavior is identical to the reference layout.
+
+    def encode_prefix(
         self, x: jnp.ndarray, mask_rng: jax.Array, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """patch embed -> random masking -> prepend CLS (everything before
+        the encoder block trunk)."""
         x = self.patch_embedding(x, deterministic=deterministic)
         x, mask, ids_restore, _ = random_masking(mask_rng, x, self.mask_ratio)
 
@@ -176,14 +184,22 @@ class MaskedAutoencoderViT(nn.Module):
             self.cls_token.astype(self.dtype), (x.shape[0], 1, self.encoder_embed_dim)
         )
         x = jnp.concatenate([cls, x], axis=1)
-
-        for blk in self.blocks:
-            x = blk(x, deterministic)
-        x = self.norm(x)
         return x, mask, ids_restore
 
-    def forward_decoder(self, x: jnp.ndarray, ids_restore: jnp.ndarray,
-                        deterministic: bool = True) -> jnp.ndarray:
+    def encode_suffix(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.norm(x)
+
+    def forward_encoder(
+        self, x: jnp.ndarray, mask_rng: jax.Array, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        x, mask, ids_restore = self.encode_prefix(x, mask_rng, deterministic)
+        for blk in self.blocks:
+            x = blk(x, deterministic)
+        return self.encode_suffix(x), mask, ids_restore
+
+    def decode_prefix(self, x: jnp.ndarray, ids_restore: jnp.ndarray) -> jnp.ndarray:
+        """decoder embed -> mask-token unshuffle -> +decoder pos embed
+        (everything before the decoder block trunk)."""
         x = self.decoder_embed(x)
         B = x.shape[0]
         L = ids_restore.shape[1]
@@ -203,13 +219,19 @@ class MaskedAutoencoderViT(nn.Module):
             ],
             axis=1,
         )
-        x = x + dec_pe.astype(x.dtype)
+        return x + dec_pe.astype(x.dtype)
 
-        for blk in self.decoder_blocks:
-            x = blk(x, deterministic)
+    def decode_suffix(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.decoder_norm(x)
         x = self.decoder_pred(x)
         return x[:, 1:, :]
+
+    def forward_decoder(self, x: jnp.ndarray, ids_restore: jnp.ndarray,
+                        deterministic: bool = True) -> jnp.ndarray:
+        x = self.decode_prefix(x, ids_restore)
+        for blk in self.decoder_blocks:
+            x = blk(x, deterministic)
+        return self.decode_suffix(x)
 
     def forward_loss(
         self, imgs: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray

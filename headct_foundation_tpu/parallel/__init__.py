@@ -6,6 +6,11 @@ from headct_foundation_tpu.parallel.mesh import (
     param_shardings,
     replicated,
 )
+from headct_foundation_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
 
 __all__ = [
     "MESH_AXES",
@@ -13,5 +18,8 @@ __all__ = [
     "make_mesh",
     "mesh_from_config",
     "param_shardings",
+    "pipeline_apply",
     "replicated",
+    "stack_layer_params",
+    "unstack_layer_params",
 ]

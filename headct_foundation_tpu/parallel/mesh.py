@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "fsdp", "seq", "tensor")
+MESH_AXES = ("data", "fsdp", "seq", "pipe", "tensor")
 
 
 def respect_jax_platforms_env() -> None:
@@ -46,26 +46,33 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'fsdp', 'seq', 'tensor') mesh over the devices.
+    """Build a ('data', 'fsdp', 'seq', 'pipe', 'tensor') mesh over the devices.
 
     The 'seq' axis is context parallelism for the long-sequence (192^3+)
     configs: activations shard over tokens, and attention all-gathers KV
-    over the axis inside a shard_map (ops/attention.py). seq=1 (the
-    default) reproduces the previous three-axis layout exactly.
+    over the axis inside a shard_map (ops/attention.py). The 'pipe' axis is
+    GPipe-style pipeline parallelism over the transformer trunks
+    (parallel/pipeline.py). seq=pipe=1 (the defaults) reproduce the previous
+    layouts exactly.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * seq * tensor) == 0, (n, fsdp, seq, tensor)
-        data = n // (fsdp * seq * tensor)
-    total = data * fsdp * seq * tensor
+        assert n % (fsdp * seq * pipe * tensor) == 0, (
+            n, fsdp, seq, pipe, tensor,
+        )
+        data = n // (fsdp * seq * pipe * tensor)
+    total = data * fsdp * seq * pipe * tensor
     assert total <= n, (
-        f"mesh {data}x{fsdp}x{seq}x{tensor} needs more than {n} devices"
+        f"mesh {data}x{fsdp}x{seq}x{pipe}x{tensor} needs more than {n} devices"
     )
-    dev_array = np.asarray(devices[:total]).reshape(data, fsdp, seq, tensor)
+    dev_array = np.asarray(devices[:total]).reshape(
+        data, fsdp, seq, pipe, tensor
+    )
     return Mesh(dev_array, MESH_AXES)
 
 
@@ -75,6 +82,7 @@ def mesh_from_config(config, devices: Optional[Sequence[jax.Device]] = None) -> 
         fsdp=config.PARALLEL.FSDP,
         tensor=config.PARALLEL.TENSOR,
         seq=getattr(config.PARALLEL, "SEQ", 1),
+        pipe=getattr(config.PARALLEL, "PIPE", 1),
         devices=devices,
     )
 

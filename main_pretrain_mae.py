@@ -137,9 +137,9 @@ def main(config, wandb_run, logger):
             logger.info(f"Resumed from {path} at epoch {start_epoch}")
 
     train_step = mae_engine.make_train_step(
-        mesh, augment=True, accum_steps=config.TRAIN.ACCUM_STEPS
+        mesh, augment=True, accum_steps=config.TRAIN.ACCUM_STEPS, config=config
     )
-    eval_step = mae_engine.make_eval_step(mesh)
+    eval_step = mae_engine.make_eval_step(mesh, config=config)
 
     state, best_loss = mae_engine.trainer(
         config, state, train_step, eval_step, train_loader, val_loader, mesh,

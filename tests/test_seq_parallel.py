@@ -236,4 +236,4 @@ def test_mesh_seq_axis_defaults_compatible():
     assert mesh.shape["seq"] == 1
     assert tuple(mesh.axis_names) == MESH_AXES
     m2 = make_mesh(data=2, seq=2, tensor=2)
-    assert m2.shape == {"data": 2, "fsdp": 1, "seq": 2, "tensor": 2}
+    assert m2.shape == {"data": 2, "fsdp": 1, "seq": 2, "pipe": 1, "tensor": 2}

@@ -60,6 +60,26 @@ def detect_part(params) -> str:
     return "vit"
 
 
+def _unstack_if_pipelined(params):
+    """Pipelined (PARALLEL.PIPE) checkpoints carry the trunk params stacked
+    ('blocks' with a leading [L] layer axis, parallel/pipeline.py) — restore
+    the reference's per-block naming before the torch mapping."""
+    from headct_foundation_tpu.parallel.pipeline import unstack_layer_params
+
+    def _unstack(d):
+        d = dict(d)
+        for name in ("blocks", "decoder_blocks"):
+            if name in d and f"{name}_0" not in d:
+                d = unstack_layer_params(d, name)
+        return d
+
+    params = _unstack(params)
+    for sub in ("backbone", "model"):
+        if sub in params and hasattr(params[sub], "keys"):
+            params[sub] = _unstack(params[sub])
+    return params
+
+
 def export(ckpt_path: str, out_path: str, part: str = "auto",
            norm_layer: str = "layernorm") -> list:
     """Returns the list of files written."""
@@ -69,7 +89,7 @@ def export(ckpt_path: str, out_path: str, part: str = "auto",
     from headct_foundation_tpu.utils.torch_interop import tree_to_torch
 
     payload = load_checkpoint(ckpt_path)
-    params = payload["params"]
+    params = _unstack_if_pipelined(payload["params"])
     if part == "auto":
         part = detect_part(params)
     meta = {"epoch": payload.get("epoch", 0),
