@@ -220,7 +220,7 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
         state, _, _ = mae_engine.create_train_state(
             cfg, mesh, rng, total_steps=10_000, num_warmup_steps=100
         )
-        train_step = mae_engine.make_train_step(mesh, augment=True)
+        train_step = mae_engine.make_train_step(mesh, augment=True, config=cfg)
 
         flush = 8  # batched loss fetches, like the engine loop
         t0 = None

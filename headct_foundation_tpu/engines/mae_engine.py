@@ -188,29 +188,16 @@ def _make_pipelined_loss(config, mesh: Mesh, dtype=jnp.bfloat16):
 
     The stacked block params live in the state as params['blocks'] /
     params['decoder_blocks'] (see create_train_state); everything around the
-    trunks reuses the model's own prefix/suffix methods under GSPMD, so the
-    math is identical to the unpipelined forward (pinned by tests)."""
-    from headct_foundation_tpu.models.attention import AttentionBlock
+    trunks reuses the model's own prefix/suffix methods under GSPMD, and the
+    blocks themselves come from the model's own block factories, so the math
+    is identical to the unpipelined forward (pinned by tests)."""
+    from headct_foundation_tpu.models.mae import mae_decoder_block, mae_encoder_block
     from headct_foundation_tpu.parallel.pipeline import pipeline_apply
 
     n_micro = int(getattr(config.PARALLEL, "PIPE_MICROBATCH", 0) or 0)
-
-    def _block(embed_dim, mlp_dim, heads):
-        return AttentionBlock(
-            hidden_size=embed_dim,
-            mlp_dim=mlp_dim,
-            num_heads=heads,
-            dropout_rate=0.0,  # PIPE requires dropout 0 (create_train_state)
-            qkv_bias=config.MAE.USE_BIAS,
-            norm_layer=config.MAE.NORM_LAYER,
-            remat_mlp=config.PARALLEL.REMAT,
-            dtype=dtype,
-        )
-
-    enc_block = _block(config.MAE.ENCODER_EMBED_DIM, config.MAE.ENCODER_MLP_DIM,
-                       config.MAE.ENCODER_NUM_HEADS)
-    dec_block = _block(config.MAE.DECODER_EMBED_DIM, config.MAE.DECODER_MLP_DIM,
-                       config.MAE.DECODER_NUM_HEADS)
+    model = build_mae_model(config, dtype=dtype)
+    enc_block = mae_encoder_block(model)
+    dec_block = mae_decoder_block(model)
 
     def enc_apply(p, x):
         return enc_block.apply({"params": p}, x, True)
@@ -267,6 +254,12 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
             batch = mae_augment(aug_rng, batch)
         if pipelined_loss is not None:
             return pipelined_loss(state.apply_fn, params, batch, mask_rng)
+        if "blocks" in params and "blocks_0" not in params:
+            raise ValueError(
+                "state holds pipelined (stacked) trunk params; pass the same "
+                "config (with PARALLEL.PIPE set) to make_train_step/"
+                "make_eval_step as to create_train_state"
+            )
         loss, _, _ = state.apply_fn(
             {"params": params},
             batch,
@@ -343,6 +336,11 @@ def make_eval_step(mesh: Mesh, config=None):
                 return {"loss": pipelined_loss(
                     state.apply_fn, state.params, batch, rng
                 )}
+            if "blocks" in state.params and "blocks_0" not in state.params:
+                raise ValueError(
+                    "state holds pipelined (stacked) trunk params; pass the "
+                    "same config (with PARALLEL.PIPE set) to make_eval_step"
+                )
             loss, _, _ = state.apply_fn(
                 {"params": state.params}, batch, deterministic=True,
                 rngs={"mask": rng},

@@ -39,6 +39,41 @@ def _to3(x: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
     return _to_tuple(x, 3)  # single impl (length-checked) in pos_embed
 
 
+def mae_encoder_block(m: "MaskedAutoencoderViT", name=None) -> AttentionBlock:
+    """The exact encoder AttentionBlock the model's setup() builds — the
+    single source of truth shared with the pipelined trunk apply
+    (engines/mae_engine._make_pipelined_loss), so block hyperparameters can
+    never drift between the two forwards."""
+    return AttentionBlock(
+        hidden_size=m.encoder_embed_dim,
+        mlp_dim=m.encoder_mlp_dim,
+        num_heads=m.encoder_num_heads,
+        dropout_rate=m.dropout_rate,
+        qkv_bias=m.use_bias,
+        norm_layer=m.norm_layer,
+        remat_mlp=m.remat,
+        dtype=m.dtype,
+        param_dtype=m.param_dtype,
+        name=name,
+    )
+
+
+def mae_decoder_block(m: "MaskedAutoencoderViT", name=None) -> AttentionBlock:
+    """Decoder twin of :func:`mae_encoder_block`."""
+    return AttentionBlock(
+        hidden_size=m.decoder_embed_dim,
+        mlp_dim=m.decoder_mlp_dim,
+        num_heads=m.decoder_num_heads,
+        dropout_rate=m.dropout_rate,
+        qkv_bias=m.use_bias,
+        norm_layer=m.norm_layer,
+        remat_mlp=m.remat,
+        dtype=m.dtype,
+        param_dtype=m.param_dtype,
+        name=name,
+    )
+
+
 class MaskedAutoencoderViT(nn.Module):
     input_size: Union[int, Sequence[int]]
     patch_size: Union[int, Sequence[int]]
@@ -114,33 +149,11 @@ class MaskedAutoencoderViT(nn.Module):
         # MLP-only remat: whole-block remat would re-trace the Pallas
         # attention in backward (see AttentionBlock docstring).
         self.blocks = [
-            AttentionBlock(
-                hidden_size=self.encoder_embed_dim,
-                mlp_dim=self.encoder_mlp_dim,
-                num_heads=self.encoder_num_heads,
-                dropout_rate=self.dropout_rate,
-                qkv_bias=self.use_bias,
-                norm_layer=self.norm_layer,
-                remat_mlp=self.remat,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
-            )
+            mae_encoder_block(self, name=f"blocks_{i}")
             for i in range(self.encoder_depth)
         ]
         self.decoder_blocks = [
-            AttentionBlock(
-                hidden_size=self.decoder_embed_dim,
-                mlp_dim=self.decoder_mlp_dim,
-                num_heads=self.decoder_num_heads,
-                dropout_rate=self.dropout_rate,
-                qkv_bias=self.use_bias,
-                norm_layer=self.norm_layer,
-                remat_mlp=self.remat,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"decoder_blocks_{i}",
-            )
+            mae_decoder_block(self, name=f"decoder_blocks_{i}")
             for i in range(self.decoder_depth)
         ]
 

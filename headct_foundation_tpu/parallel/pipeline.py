@@ -66,6 +66,42 @@ def unstack_layer_params(params: Dict[str, Any], prefix: str):
     return out
 
 
+def unstack_if_pipelined(params):
+    """Restore the reference's per-block naming on a param tree that carries
+    pipelined (stacked) trunks; per-block trees pass through unchanged. Used
+    wherever a checkpoint of unknown layout meets per-block consumers
+    (torch export, warm-starting an unpipelined model)."""
+    if not hasattr(params, "keys"):
+        return params
+    out = dict(params)
+    for prefix in ("blocks", "decoder_blocks"):
+        if prefix in out and f"{prefix}_0" not in out:
+            out = unstack_layer_params(out, prefix)
+    return out
+
+
+def adapt_trunk_layout(tree, target):
+    """Convert a source param tree's trunk layout (stacked 'blocks' vs
+    per-block 'blocks_i') to match ``target``'s before name-based merging —
+    so pipelined checkpoints warm-start unpipelined models and vice versa
+    instead of silently merging zero trunk weights. Non-dict inputs and
+    prefixes absent from either side pass through untouched."""
+    if not (hasattr(tree, "keys") and hasattr(target, "keys")):
+        return tree
+    tree = dict(tree)
+    for prefix in ("blocks", "decoder_blocks"):
+        src_stacked = prefix in tree and f"{prefix}_0" not in tree
+        tgt_stacked = prefix in target and f"{prefix}_0" not in target
+        if src_stacked and not tgt_stacked:
+            tree = unstack_layer_params(tree, prefix)
+        elif tgt_stacked and not src_stacked and f"{prefix}_0" in tree:
+            n = 0
+            while f"{prefix}_{n}" in tree:
+                n += 1
+            tree = stack_layer_params(tree, prefix, n)
+    return tree
+
+
 def pipeline_rules(base_rules=None) -> Tuple:
     """Sharding rules for stacked trunk params: the leading layer axis shards
     over 'pipe'; these must PRECEDE the default rules (which would otherwise
@@ -126,11 +162,14 @@ def pipeline_apply(
 
     def body(layers, xb):
         # layers: this stage's [L/S, ...] params; xb: this data-shard's batch.
+        # Partial tail batches (drop_last=False loaders) pad up to a multiple
+        # of M — shapes are static per trace, so this costs nothing on full
+        # batches and only bubble compute on the tail trace.
         b = xb.shape[0]
-        assert b % M == 0, (
-            f"per-datashard batch {b} must divide n_microbatches {M}"
-        )
-        xs = xb.reshape((M, b // M) + xb.shape[1:])
+        b_pad = -(-b // M) * M
+        if b_pad != b:
+            xb = jnp.pad(xb, ((0, b_pad - b),) + ((0, 0),) * (xb.ndim - 1))
+        xs = xb.reshape((M, b_pad // M) + xb.shape[1:])
         stage = jax.lax.axis_index(axis)
 
         def tick(carry, t):
@@ -172,7 +211,7 @@ def pipeline_apply(
         # same value: broadcast the last stage's outputs with a masked psum.
         ys = jax.lax.psum(jnp.where(stage == S - 1, ys, 0).astype(ys.dtype),
                           axis)
-        return ys.reshape((b,) + xb.shape[1:])
+        return ys.reshape((b_pad,) + xb.shape[1:])[:b]
 
     return jax.shard_map(
         body,

@@ -399,6 +399,12 @@ def load_pretrained_into(
         # reference strips 'backbone.' when loading into a bare ViT
         if isinstance(tree, dict) and set(tree) == {"backbone", "head"} and "backbone" not in params:
             tree = tree["backbone"]
+    # Pipelined (PARALLEL.PIPE) checkpoints store the trunks STACKED
+    # ('blocks' with a leading layer axis); per-block targets would merge
+    # ZERO trunk weights from them (and vice versa) — adapt layouts first.
+    from headct_foundation_tpu.parallel.pipeline import adapt_trunk_layout
+
+    tree = adapt_trunk_layout(tree, params)
     merged, missing, unexpected = merge_params(params, tree)
     if logger:
         logger.info(

@@ -70,6 +70,26 @@ def test_pipeline_apply_matches_sequential(pipe, n_micro):
                                    atol=1e-5, rtol=1e-5, err_msg=k)
 
 
+def test_pipeline_apply_pads_partial_tail_batch():
+    """drop_last=False loaders produce tail batches whose per-datashard size
+    doesn't divide the microbatch count — the schedule must pad and slice,
+    not crash, and values/grads must still match the sequential fold."""
+    mesh = make_mesh(data=2, pipe=4)
+    rng = np.random.RandomState(4)
+    layers = _toy_layers(rng, 4, 8)
+    x = jnp.asarray(rng.randn(6, 5, 8), jnp.float32)  # 3 per shard, M=4
+    w = jnp.asarray(rng.randn(6, 5, 8), jnp.float32)
+    out = pipeline_apply(mesh, layers, x, _toy_apply, 4)
+    ref = _sequential(layers, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    g1 = jax.grad(lambda x: jnp.sum(
+        pipeline_apply(mesh, layers, x, _toy_apply, 4) * w))(x)
+    g2 = jax.grad(lambda x: jnp.sum(_sequential(layers, x) * w))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_apply_no_pipe_axis_is_plain_fold():
     mesh = make_mesh(data=8)  # pipe axis size 1
     rng = np.random.RandomState(1)
@@ -228,6 +248,44 @@ def test_export_torch_unstacks_pipelined_checkpoint(tmp_path):
     # each exported block weight is a single layer's [out, in], not stacked
     w = sd["blocks.0.attn.qkv.weight"]
     assert w.ndim == 2, w.shape
+
+
+def test_load_pretrained_adapts_trunk_layout_both_ways(tmp_path):
+    """A pipelined (stacked) checkpoint must warm-start an unpipelined model
+    with ALL trunk weights (and vice versa) — without the layout adapter the
+    strict=False merge silently leaves every block at random init."""
+    from headct_foundation_tpu.engines import mae_engine
+    from headct_foundation_tpu.utils.checkpoint import save_checkpoint
+    from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+
+    cfg = _tiny_pipe_config(tmp_path)
+    mesh = make_mesh(data=2, pipe=2)
+    state, _, _ = mae_engine.create_train_state(
+        cfg, mesh, jax.random.PRNGKey(5), total_steps=10, num_warmup_steps=0
+    )
+    save_checkpoint(state, 0, 0.0, str(tmp_path), "pipe.ckpt")
+
+    cfg_flat = _tiny_pipe_config(tmp_path, pipe=1)
+    mesh_flat = make_mesh(data=8)
+    flat_state, _, _ = mae_engine.create_train_state(
+        cfg_flat, mesh_flat, jax.random.PRNGKey(9), total_steps=10,
+        num_warmup_steps=0,
+    )
+    merged = load_pretrained_into(
+        flat_state.params, str(tmp_path / "pipe.ckpt")
+    )
+    want = np.asarray(state.params["blocks"]["attn"]["qkv"]["kernel"])[1]
+    got = np.asarray(merged["blocks_1"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_array_equal(got, want)
+
+    # reverse: per-block checkpoint into a pipelined (stacked) target
+    save_checkpoint(flat_state, 0, 0.0, str(tmp_path), "flat.ckpt")
+    merged2 = load_pretrained_into(
+        state.params, str(tmp_path / "flat.ckpt")
+    )
+    want2 = np.asarray(flat_state.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    got2 = np.asarray(merged2["blocks"]["attn"]["qkv"]["kernel"])[0]
+    np.testing.assert_array_equal(got2, want2)
 
 
 def test_pipe_requires_divisible_depth_and_no_dropout(tmp_path):

@@ -64,19 +64,12 @@ def _unstack_if_pipelined(params):
     """Pipelined (PARALLEL.PIPE) checkpoints carry the trunk params stacked
     ('blocks' with a leading [L] layer axis, parallel/pipeline.py) — restore
     the reference's per-block naming before the torch mapping."""
-    from headct_foundation_tpu.parallel.pipeline import unstack_layer_params
+    from headct_foundation_tpu.parallel.pipeline import unstack_if_pipelined
 
-    def _unstack(d):
-        d = dict(d)
-        for name in ("blocks", "decoder_blocks"):
-            if name in d and f"{name}_0" not in d:
-                d = unstack_layer_params(d, name)
-        return d
-
-    params = _unstack(params)
+    params = unstack_if_pipelined(params)
     for sub in ("backbone", "model"):
         if sub in params and hasattr(params[sub], "keys"):
-            params[sub] = _unstack(params[sub])
+            params[sub] = unstack_if_pipelined(params[sub])
     return params
 
 

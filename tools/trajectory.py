@@ -232,7 +232,7 @@ def run_mae(cfg, mesh, epochs, steps, batch, accum, rng, pool):
         num_warmup_steps=int(cfg.TRAIN.PER_WARMUP * total),
     )
     train_step = mae_engine.make_train_step(
-        mesh, augment=True, accum_steps=accum
+        mesh, augment=True, accum_steps=accum, config=cfg
     )
     loader = SyntheticLoader(pool, batch, steps)
     rec = RecordingRun()
