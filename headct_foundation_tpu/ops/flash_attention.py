@@ -5,17 +5,23 @@ attention path — the TPU counterpart of the reference's
 ``F.scaled_dot_product_attention`` flash path (reference:
 src/models/attentionblock.py:61).
 
-Kernel shape: grid (batch x heads, q-blocks); each program streams KV blocks
-through VMEM with a running (max, sum, accumulator) triple, so peak VMEM is
-O(BLOCK_Q x BLOCK_K + BLOCK_Q x D) regardless of sequence length — the
-[T, T] score matrix is never materialized. This matters for the
-high-resolution stretch configs (192^3 -> 4096 tokens) where materializing
-scores costs 64 MB per head; for the default 513-token sequences XLA's fused
-attention is already near-roofline and remains the default backend
-(ops/attention.py).
+Two custom-VJP kernel families, dispatched by sequence length
+(ops/attention.py picks XLA below PALLAS_MIN_T=192, where per-(b,h)-program
+kernels are launch-bound):
 
-Sequences are padded to the block size with additive -inf masking derived
-from in-kernel iota, so any T works.
+* whole-sequence VMEM path (T <= 1024): each program holds exact-T Q/K/V
+  slabs and the [T, T] f32 score matrix entirely in VMEM — scores never
+  touch HBM, and the backward recomputes them from (q, k, lse). This is the
+  production path for the flagship 513/517-token ViT shapes (measured 1.5x
+  XLA fwd+bwd there).
+* blocked path (T beyond VMEM): grid (batch x heads, q-blocks); each program
+  streams KV blocks with a running (max, sum, accumulator) triple, so peak
+  VMEM is O(BLOCK_Q x BLOCK_K + BLOCK_Q x D) regardless of T — for the
+  high-resolution stretch configs (192^3 -> 4096 tokens) where materialized
+  scores would cost 64 MB per head. Sequences pad to the block size with
+  additive -inf masking from in-kernel iota, so any (Tq, Tk) works,
+  including the rectangular shapes of the context-parallel ('seq' axis)
+  path.
 """
 
 from __future__ import annotations
@@ -193,7 +199,15 @@ def _bh_block(bh_total: int, t_pad: int) -> int:
 def _fused_fwd_impl(q, k, v, scale):
     B, T, H, D = q.shape
     s = float(D) ** -0.5 if scale is None else scale
-    t_pad = _round_up(T, 128)
+    # Exact-T blocks: Mosaic allows block dims EQUAL to the array dim without
+    # divisibility, and each program reads whole [T, D] slabs — so the VMEM
+    # path runs unpadded. vs the old round_up(T, 128): kills the full-size
+    # HBM pad+slice copies around every call AND ~20% wasted score rows at
+    # the ViT shapes (T=513/517 padded to 640). Measured on v5e
+    # (bench_attention, fwd+bwd): DINO-student [64,517,12,64] 15.1 -> 9.85 ms
+    # (1.53x), MAE decoder [32,513,16,48] 5.7 -> 3.91 ms (1.46x); full steps:
+    # MAE 270.6 -> 292.5 vol/s/chip, DINO B=16 50.6 -> 58.0.
+    t_pad = T
     qp = _prep_bhtd(q, B, H, T, D, t_pad)
     kp = _prep_bhtd(k, B, H, T, D, t_pad)
     vp = _prep_bhtd(v, B, H, T, D, t_pad)
