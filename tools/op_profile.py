@@ -93,6 +93,8 @@ def capture(state, run_one, trace_dir):
 
 
 def parse_op_profile(trace_dir, top_n=18):
+    """Print category + top-op breakdowns from byProgramExcludeIdle
+    (this xprof build groups program -> category -> op)."""
     from xprof.convert.raw_to_tool_data import xspace_to_tool_data
 
     files = glob.glob(
@@ -102,26 +104,26 @@ def parse_op_profile(trace_dir, top_n=18):
     data, _ = xspace_to_tool_data(files, "op_profile", {})
     tree = json.loads(data) if isinstance(data, (str, bytes)) else data
 
-    root = tree.get("byCategory", tree)
+    root = tree["byProgramExcludeIdle"]
     total = root["metrics"]["rawTime"]
-    rows = []
-    for cat in root.get("children", []):
-        t = cat["metrics"].get("rawTime", 0)
-        rows.append((t / total, cat["name"], cat))
-    rows.sort(reverse=True)
+    cats, ops = {}, []
+    for prog in root.get("children", []):
+        for cat in prog.get("children", []):
+            cats[cat["name"]] = cats.get(cat["name"], 0) + cat["metrics"].get(
+                "rawTime", 0
+            )
+            for op in cat.get("children", []):
+                ops.append((op["metrics"].get("rawTime", 0) / total,
+                            cat["name"], op["name"],
+                            op["metrics"].get("occurrences", 0)))
 
-    print(f"\n== categories (fraction of {total/1e9:.3f}s device time) ==")
-    ops = []
-    for frac, name, cat in rows:
-        flops = cat["metrics"].get("flops", 0)
-        print(f"  {frac*100:5.1f}%  {name}")
-        for child in cat.get("children", []):
-            ops.append((child["metrics"].get("rawTime", 0) / total,
-                        name, child["name"]))
+    print(f"\n== categories (fraction of {total/1e12:.3f}s device time; rawTime is ps) ==")
+    for name, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {t/total*100:5.1f}%  {name}")
     ops.sort(reverse=True)
     print(f"\n== top {top_n} ops by self time ==")
-    for frac, cat, name in ops[:top_n]:
-        print(f"  {frac*100:5.1f}%  [{cat}] {name[:100]}")
+    for frac, cat, name, occ in ops[:top_n]:
+        print(f"  {frac*100:5.1f}%  [{cat}] {name[:90]} x{occ}")
 
 
 def main():
