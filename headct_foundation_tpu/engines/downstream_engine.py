@@ -568,17 +568,18 @@ def trainer(
             if np.isfinite(auroc) and auroc > best_auroc:
                 best_auroc = auroc
                 best = (jax.device_get(state.params), jax.device_get(state.batch_stats))
-                if jax.process_index() == 0:
-                    save_checkpoint(
-                        state, epoch, best_auroc, config.MODEL.DIR,
-                        f"best_{save_name}", logger=logger,
-                        # classifier BN running stats ride along — without
-                        # them a RELOADED checkpoint would eval with fresh
-                        # mean/var (the reference's state_dict carries BN
-                        # buffers implicitly)
-                        extra={"batch_stats": state.batch_stats},
-                        async_save=bool(config.TRAIN.ASYNC_CKPT),
-                    )
+                # every process enters (sharded states gather inside);
+                # process 0 alone writes the file
+                save_checkpoint(
+                    state, epoch, best_auroc, config.MODEL.DIR,
+                    f"best_{save_name}", logger=logger,
+                    # classifier BN running stats ride along — without
+                    # them a RELOADED checkpoint would eval with fresh
+                    # mean/var (the reference's state_dict carries BN
+                    # buffers implicitly)
+                    extra={"batch_stats": state.batch_stats},
+                    async_save=bool(config.TRAIN.ASYNC_CKPT),
+                )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead
     wait_for_saves()  # join the in-flight async checkpoint write

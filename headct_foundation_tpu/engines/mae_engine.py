@@ -513,12 +513,13 @@ def trainer(
                 f"iter {train_stats.get('iter_time', 0.0):.3f}s "
                 f"(data {train_stats.get('data_time', 0.0):.3f}s)"
             )
-        if jax.process_index() == 0:
-            save_checkpoint(
-                state, epoch, best_loss, config.MODEL.DIR, f"latest_{save_name}",
-                logger=logger, extra=checkpoint_extra,
-                async_save=bool(config.TRAIN.ASYNC_CKPT),
-            )
+        # every process enters (cross-process-sharded states gather with a
+        # collective inside); process 0 alone writes the file
+        save_checkpoint(
+            state, epoch, best_loss, config.MODEL.DIR, f"latest_{save_name}",
+            logger=logger, extra=checkpoint_extra,
+            async_save=bool(config.TRAIN.ASYNC_CKPT),
+        )
         if (epoch + 1) % val_every == 0 and val_loader is not None:
             val_stats = val_one_epoch(
                 config, state, eval_step, val_loader, mesh, rng, epoch,
@@ -529,12 +530,11 @@ def trainer(
                 wandb_run.log({"Validation Loss": val_loss})
             if val_loss < best_loss:
                 best_loss = val_loss
-                if jax.process_index() == 0:
-                    save_checkpoint(
-                        state, epoch, best_loss, config.MODEL.DIR,
-                        f"best_{save_name}", logger=logger, extra=checkpoint_extra,
-                        async_save=bool(config.TRAIN.ASYNC_CKPT),
-                    )
+                save_checkpoint(
+                    state, epoch, best_loss, config.MODEL.DIR,
+                    f"best_{save_name}", logger=logger, extra=checkpoint_extra,
+                    async_save=bool(config.TRAIN.ASYNC_CKPT),
+                )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead
     wait_for_saves()  # join the in-flight async checkpoint write

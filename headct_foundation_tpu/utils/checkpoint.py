@@ -24,8 +24,29 @@ import numpy as np
 from flax import serialization
 
 
+def _fetch_global(x: Any) -> np.ndarray:
+    """numpy copy of a (possibly non-fully-addressable) array.
+
+    Multi-host sharded params (fsdp/tensor axes spanning processes) cannot be
+    device_get on one process — they are gathered with a COLLECTIVE, so
+    save_checkpoint must be entered by every process in that regime (the
+    engines call it unconditionally; only process 0 writes)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def _to_numpy_tree(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+    return jax.tree.map(_fetch_global, tree)
+
+
+def _fully_addressable(tree: Any) -> bool:
+    return all(
+        not isinstance(leaf, jax.Array) or leaf.is_fully_addressable
+        for leaf in jax.tree.leaves(tree)
+    )
 
 
 class _AsyncSaver:
@@ -97,8 +118,12 @@ def save_checkpoint(
     D2H fetch + pickle + disk write to a background thread, so the epoch
     boundary doesn't stall on serializing ~GBs of state (the reference's
     torch.save is fully synchronous on the trainer, src/utils/misc.py:35-52).
+
+    Multi-host: call from EVERY process. States with cross-process-sharded
+    leaves are gathered with a collective (synchronously on the main thread —
+    a background-thread collective could interleave with the train loop's
+    and deadlock); process 0 alone writes the file.
     """
-    os.makedirs(dir_add, exist_ok=True)
     path = os.path.join(dir_add, filename)
 
     devtree = {
@@ -107,6 +132,12 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "extra": dict(extra) if extra else {},
     }
+    if not _fully_addressable(devtree):
+        # collective gather on all processes; numpy from here on
+        devtree = jax.tree.map(_fetch_global, devtree)
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(dir_add, exist_ok=True)
     if async_save:
         devtree = _snapshot(devtree)
 
@@ -166,7 +197,7 @@ def save_checkpoint_orbax(
         "epoch": int(epoch),
         "best_loss": float(best_loss),
         "step": int(jax.device_get(state.step)),
-        "params": jax.device_get(state.params),
+        "params": _to_numpy_tree(state.params),
         "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
     }
     with ocp.PyTreeCheckpointer() as ckptr:

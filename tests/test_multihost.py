@@ -100,6 +100,24 @@ _WORKER = textwrap.dedent(
     from headct_foundation_tpu.utils.metrics import multiclass_metrics
     mm = multiclass_metrics(gtgts, gprobs, 2)
     print(f"AUROC {{mm['mean_auroc']:.6f}}")
+
+    # --- checkpointing a CROSS-PROCESS-sharded state (fsdp axis spanning
+    # both processes): save_checkpoint must gather collectively on every
+    # process and write once on rank 0 ---
+    from headct_foundation_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from jax.experimental import multihost_utils
+    mesh_f = make_mesh(data=4, fsdp=2)
+    fs2, _, _ = mae_engine.create_train_state(cfg, mesh_f, rng, 10, 0)
+    qkv = fs2.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert not qkv.is_fully_addressable, "fsdp shards must span processes"
+    save_checkpoint(fs2, 3, 0.5, {ckdir!r}, "mh.ckpt")
+    multihost_utils.sync_global_devices("ckpt written")
+    payload = load_checkpoint(os.path.join({ckdir!r}, "mh.ckpt"))
+    got = np.asarray(payload["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    ref = np.asarray(multihost_utils.process_allgather(qkv, tiled=True))
+    assert np.array_equal(got, ref), float(np.abs(got - ref).max())
+    print("CKPT OK")
     """
 )
 
@@ -108,7 +126,9 @@ _WORKER = textwrap.dedent(
 def test_two_process_spmd(tmp_path):
     port = 12000 + os.getpid() % 1000
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER.format(repo=REPO, port=port))
+    worker.write_text(
+        _WORKER.format(repo=REPO, port=port, ckdir=str(tmp_path))
+    )
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -146,3 +166,7 @@ def test_two_process_spmd(tmp_path):
     aurocs = _values("AUROC")
     assert len(aurocs) == 2
     assert aurocs[0] == aurocs[1], aurocs
+
+    # sharded-state checkpoint: collective gather ran on both processes and
+    # the reloaded values match the gathered live params on both
+    assert len(_values("CKPT")) == 2
