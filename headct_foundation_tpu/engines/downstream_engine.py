@@ -536,7 +536,14 @@ def trainer(
     """Best-by-mean-AUROC selection (reference: engine_downstream.py:381-412).
     Returns (final_state, best_params (params, batch_stats), best_auroc)."""
     best_auroc = -float("inf")
-    best = (jax.device_get(state.params), jax.device_get(state.batch_stats))
+    # to_numpy_tree gathers cross-process-sharded leaves collectively
+    # (multi-host fsdp); plain device_get would raise on them. On best-AUROC
+    # epochs the full model is fetched here AND inside save_checkpoint —
+    # accepted: replicated leaves short-circuit to a local read, so the
+    # double cost only exists for sharded-downstream configs.
+    from headct_foundation_tpu.utils.checkpoint import to_numpy_tree
+
+    best = (to_numpy_tree(state.params), to_numpy_tree(state.batch_stats))
     save_name = config.MODEL.SAVE_NAME
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
@@ -567,7 +574,8 @@ def trainer(
                 logger.info(f"Val mean AUROC: {auroc:.4f}")
             if np.isfinite(auroc) and auroc > best_auroc:
                 best_auroc = auroc
-                best = (jax.device_get(state.params), jax.device_get(state.batch_stats))
+                best = (to_numpy_tree(state.params),
+                        to_numpy_tree(state.batch_stats))
                 # every process enters (sharded states gather inside);
                 # process 0 alone writes the file
                 save_checkpoint(

@@ -30,16 +30,25 @@ def _fetch_global(x: Any) -> np.ndarray:
     Multi-host sharded params (fsdp/tensor axes spanning processes) cannot be
     device_get on one process — they are gathered with a COLLECTIVE, so
     save_checkpoint must be entered by every process in that regime (the
-    engines call it unconditionally; only process 0 writes)."""
+    engines call it unconditionally; only process 0 writes). Fully-replicated
+    leaves (pure data parallelism — the common multi-host case) short-circuit
+    to a local read: no collective, no per-leaf jit dispatch."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x)
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))
 
 
-def _to_numpy_tree(tree: Any) -> Any:
+def to_numpy_tree(tree: Any) -> Any:
+    """Host-numpy copy of a state pytree; gathers cross-process-sharded
+    leaves collectively (call from every process in that regime)."""
     return jax.tree.map(_fetch_global, tree)
+
+
+_to_numpy_tree = to_numpy_tree  # internal alias
 
 
 def _fully_addressable(tree: Any) -> bool:
@@ -122,7 +131,8 @@ def save_checkpoint(
     Multi-host: call from EVERY process. States with cross-process-sharded
     leaves are gathered with a collective (synchronously on the main thread —
     a background-thread collective could interleave with the train loop's
-    and deadlock); process 0 alone writes the file.
+    and deadlock); process 0 alone writes the file, so the returned path
+    exists on process 0's filesystem only.
     """
     path = os.path.join(dir_add, filename)
 
@@ -134,7 +144,7 @@ def save_checkpoint(
     }
     if not _fully_addressable(devtree):
         # collective gather on all processes; numpy from here on
-        devtree = jax.tree.map(_fetch_global, devtree)
+        devtree = to_numpy_tree(devtree)
     if jax.process_index() != 0:
         return path
     os.makedirs(dir_add, exist_ok=True)

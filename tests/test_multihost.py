@@ -115,7 +115,12 @@ _WORKER = textwrap.dedent(
     multihost_utils.sync_global_devices("ckpt written")
     payload = load_checkpoint(os.path.join({ckdir!r}, "mh.ckpt"))
     got = np.asarray(payload["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
-    ref = np.asarray(multihost_utils.process_allgather(qkv, tiled=True))
+    # INDEPENDENT oracle (not process_allgather, which _fetch_global itself
+    # uses): the same init rng on the pure-DP mesh yields replicated params
+    # readable locally — a shard-order bug in the gather would fail this.
+    fs3, _, _ = mae_engine.create_train_state(cfg, mesh, rng, 10, 0)
+    ref = np.asarray(
+        jax.device_get(fs3.params["blocks_0"]["attn"]["qkv"]["kernel"]))
     assert np.array_equal(got, ref), float(np.abs(got - ref).max())
     print("CKPT OK")
     """

@@ -104,10 +104,18 @@ def parse_op_profile(trace_dir, top_n=18):
     data, _ = xspace_to_tool_data(files, "op_profile", {})
     tree = json.loads(data) if isinstance(data, (str, bytes)) else data
 
-    root = tree["byProgramExcludeIdle"]
+    # program -> category -> op on this xprof build; older builds emit a
+    # byCategory root (category -> op) — handle both so a captured trace is
+    # never wasted on a format mismatch.
+    if "byProgramExcludeIdle" in tree:
+        root = tree["byProgramExcludeIdle"]
+        programs = root.get("children", [])
+    else:
+        root = tree.get("byCategory", tree)
+        programs = [root]
     total = root["metrics"]["rawTime"]
     cats, ops = {}, []
-    for prog in root.get("children", []):
+    for prog in programs:
         for cat in prog.get("children", []):
             cats[cat["name"]] = cats.get(cat["name"], 0) + cat["metrics"].get(
                 "rawTime", 0
