@@ -1,16 +1,25 @@
 """EXPERIMENT (negative result — NOT on the production path).
 
 Token-major (transpose-free) whole-sequence VMEM attention. Measured on the
-real chip (tools/bench_tm_attention.py, 2026-08-19): at the one workload
-shape whose backward fits VMEM (MAE encoder, T=129) it is 0.98x the
-production [B*H, T, D] kernel — a slight LOSS with bit-identical numerics —
-and at T>=513 the backward cannot compile: Mosaic stack-allocates each
-dot_general result before any scratch copy, so the unrolled head loop keeps
-H x [T, T] f32 temporaries live (21.4-24.8 MB vs the 16 MB/core budget),
-and routing temporaries through explicit VMEM scratch does not reduce it.
-Conclusion (third layout experiment to measure this): XLA already optimizes
-the BTHD<->[B*H,T,D] wrapper transposes; they are not the "data formatting"
-cost in the step profile. Kept under tools/ for the record.
+real chip (tools/bench_tm_attention.py, 2026-08-19), bit-identical numerics
+at every shape, and a consistent LOSS vs the production [B*H, T, D] kernels:
+0.89x at MAE-encoder T=129, 0.89x at DINO-student T=517 (9.86 -> 11.08 ms
+fwd+bwd), 0.88x at ViT-96 T=513. The whole-slab backward cannot compile at
+T>=513 (Mosaic stack-allocates each dot_general result before any scratch
+copy and does not reuse slots across the unrolled head loop: H x [T, T]
+temporaries = 21.4-24.8 MB vs the 16 MB/core budget); the shipped
+head-group-split backward grid (lane blocks at 128-multiples, see
+_head_split) fits VMEM for D=64 shapes and produced the T>=513 numbers.
+The MAE decoder (H=16, D=48) fits no split: (16/S)*48 % 128 == 0 only for
+S<=2, whose stack estimate exceeds budget.
+
+Conclusion (4th layout experiment to reach it, and the decisive one): the
+~8% "data formatting" step-profile share around attention (HLO copy.633/
+636/561 — qkv-output relayout + BTHD<->[B*H,T,D] copies) is NOT recoverable
+by ingesting the model layout directly — head panels at odd 64-lane offsets
+cost an in-VMEM Mosaic relayout per access that exceeds the HBM copies it
+replaces. Do not retry layout-motivated attention kernels on this model
+family; D=128-head models would be the only candidate.
 
 The production VMEM kernels in ops/flash_attention.py take [B*H, T, D]
 operands, so every call pays 3 forward + 5 backward full-tensor HBM
@@ -157,18 +166,54 @@ def _tm_fwd(q, k, v, scale):
     return out, (res, (out.shape[2], out.shape[3]))
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _head_split(T: int, H: int, D: int) -> int:
+    """Smallest S (largest head group) splitting the H heads into S
+    lane-blocked backward programs per batch element such that the per-
+    program VMEM footprint fits. The lane block (H//S)*D must be a multiple
+    of 128 (Mosaic lane-dim blocking rule); the stack estimate charges the
+    two bf16 [T, T] operand casts per unrolled head (Mosaic does not reuse
+    stack slots across the unrolled loop) plus the f32 scratch and the 9
+    blocked refs, all at (8/16, 128)-tile-rounded sizes."""
+    budget = 13 * 1024 * 1024
+    t_f32 = _round_up(T, 8) * _round_up(T, 128) * 4
+    t_bf16 = _round_up(T, 16) * _round_up(T, 128) * 2
+    for s_split in range(1, H + 1):
+        if H % s_split:
+            continue
+        hs = H // s_split
+        if (hs * D) % 128:
+            continue
+        refs = 9 * _round_up(T, 8) * hs * D * 2
+        need = refs + 2 * t_f32 + hs * 2 * t_bf16
+        if need <= budget:
+            return s_split
+    raise ValueError(f"no head split fits VMEM for T={T} H={H} D={D}")
+
+
 def _tm_bwd(scale, residuals, g):
     (qf, kf, vf, o, lse), (H, D) = residuals
     B, T, HD = qf.shape
     s = float(D) ** -0.5 if scale is None else scale
     gf = g.reshape(B, T, HD)
-    spec = pl.BlockSpec((1, T, HD), lambda i: (i, 0, 0),
+    # Head-group-split grid: (B*S,) programs, program i handles batch i//S,
+    # heads [(i%S)*H/S, ...). Lane blocks at 128-multiples slice for free;
+    # within a program the unrolled head loop runs over H//S heads.
+    S = _head_split(T, H, D)
+    Hs = H // S
+    spec = pl.BlockSpec((1, T, Hs * D), lambda i: (i // S, 0, i % S),
                         memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, H, T), lambda i: (i, 0, 0),
+    # lse reshaped [B, H, T] -> [B*S, Hs, T] (free: leading-dim split) so
+    # the block's sublane dim equals the array dim (Mosaic blocking rule).
+    lse = lse.reshape(B * S, Hs, T)
+    lse_spec = pl.BlockSpec((1, Hs, T), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_tm_bwd_kernel, scale=s, nheads=H),
-        grid=(B,),
+        functools.partial(_tm_bwd_kernel, scale=s, nheads=Hs),
+        grid=(B * S,),
         in_specs=[spec, spec, spec, spec, spec, lse_spec],
         out_specs=(spec, spec, spec),
         out_shape=(
