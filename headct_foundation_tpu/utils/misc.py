@@ -11,8 +11,30 @@ and the engines; MetricLogger / SmoothedValue in utils/metrics.py.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
+
+
+def datafold_read(datalist, basedir, fold: int = 0, key: str = "training"):
+    """Split a MONAI-style datalist JSON into (train, val) by fold index.
+
+    Parity with the reference utility (src/utils/misc.py:99-120): every
+    string/list-of-string value in each record is joined onto ``basedir``
+    (empty strings left as-is), records whose ``fold`` equals the requested
+    fold become validation, everything else training.
+    """
+    with open(datalist) as f:
+        records = json.load(f)[key]
+    for d in records:
+        for k, v in d.items():
+            if isinstance(v, list):
+                d[k] = [os.path.join(basedir, item) for item in v]
+            elif isinstance(v, str):
+                d[k] = os.path.join(basedir, v) if v else v
+    tr = [d for d in records if d.get("fold") != fold]
+    val = [d for d in records if d.get("fold") == fold]
+    return tr, val
 
 
 def profile_trace(log_dir: Optional[str] = None):

@@ -44,3 +44,28 @@ def test_basic_losses_match_formulas():
     zls = rng.randn(6).astype(np.float32) * 0.1
     expected = 0.5 * np.sum(zm**2 + np.exp(2 * zls) - 2 * zls - 1.0)
     np.testing.assert_allclose(float(kl_divergence(zm, zls)), expected, rtol=1e-5)
+
+
+def test_datafold_read_splits_by_fold(tmp_path):
+    # reference parity: src/utils/misc.py:99-120 — basedir join (lists and
+    # strings, empty string untouched), fold -> val, missing fold -> train
+    import json
+
+    from headct_foundation_tpu.utils.misc import datafold_read
+
+    datalist = {
+        "training": [
+            {"image": "a.nii.gz", "fold": 0, "extra": ""},
+            {"image": "b.nii.gz", "fold": 1},
+            {"image": ["c1.nii.gz", "c2.nii.gz"]},
+        ]
+    }
+    p = tmp_path / "folds.json"
+    p.write_text(json.dumps(datalist))
+    tr, val = datafold_read(str(p), "/base", fold=0)
+    assert [d["image"] for d in val] == ["/base/a.nii.gz"]
+    assert val[0]["extra"] == ""  # empty strings are not joined
+    assert [d["image"] for d in tr] == [
+        "/base/b.nii.gz",
+        ["/base/c1.nii.gz", "/base/c2.nii.gz"],
+    ]
