@@ -57,33 +57,14 @@ def _round_up(x: int, m: int) -> int:
 # score matrix (~1 MB fp32) entirely in VMEM: scores never touch HBM.
 # ---------------------------------------------------------------------------
 
-def _vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
+def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
     # Dots keep the INPUT dtype as operands (bf16 training inputs hit the
     # MXU at full bf16 rate; fp32 test inputs keep full precision) and
-    # accumulate in f32; softmax is always f32.
-    q = q_ref[0]                                       # [Tp, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                          # [Tp, Tp] f32
-    tp = s.shape[0]
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-    s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / jnp.maximum(l, 1e-30)
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
-    # Operand-dtype dots with f32 accumulation (see _vmem_kernel). Each
-    # program handles a BLOCK of (batch*head) rows (unrolled python loop):
-    # fewer, larger DMA transfers amortize per-program launch latency.
+    # accumulate in f32; softmax is always f32. Each program handles a
+    # BLOCK of (batch*head) rows (unrolled python loop): fewer, larger DMA
+    # transfers amortize per-program launch latency. No key-padding mask:
+    # this path runs exact-T blocks (t_pad == T by construction in
+    # _fused_fwd_impl), so every score column is real.
     for bh in range(q_ref.shape[0]):
         q = q_ref[bh]
         k = k_ref[bh]
@@ -91,9 +72,6 @@ def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        tp = s.shape[0]
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -106,10 +84,11 @@ def _vmem_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, t_real):
 
 
 def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale, t_real):
+                     dq_ref, dk_ref, dv_ref, *, scale):
     # Operand-dtype dots with f32 accumulation; probabilities/ds are
     # computed in f32 and cast back to the operand dtype before the MXU.
-    # Blocked over (batch*head) rows like the forward kernel.
+    # Blocked over (batch*head) rows like the forward kernel; exact-T
+    # blocks, so no key-padding mask (see _vmem_fwd_kernel).
     for bh in range(q_ref.shape[0]):
         q = q_ref[bh]
         k = k_ref[bh]
@@ -122,10 +101,7 @@ def _vmem_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        tp = s.shape[0]
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-        s = jnp.where(kv_pos < t_real, s, _NEG_INF)
-        p = jnp.exp(s - lse)  # [Tp, Tp] f32, exact softmax probabilities
+        p = jnp.exp(s - lse)  # [T, T] f32, exact softmax probabilities
         p_op = p.astype(q.dtype)
 
         dv = jax.lax.dot_general(
@@ -182,12 +158,14 @@ def fused_attention(q, k, v, scale=None):
 
 def _bh_block(bh_total: int, t_pad: int) -> int:
     """Rows of the flattened (batch*head) dim per program: larger blocks
-    amortize per-program launch/DMA latency; bounded so operands stay well
-    inside VMEM. Near the VMEM-path ceiling (t_pad >= 768) the backward's
-    unrolled [t_pad, t_pad] f32 temporaries (~4 MB each at 1024) plus 9
-    blocked refs per row approach the 16 MB/core budget — one row per
-    program there, so large-T configs cannot hit Mosaic VMEM-exhaustion
-    compile errors."""
+    amortize per-program launch/DMA latency. Both bounds are MEASURED perf
+    choices, not compile-safety guards — hb=4 compiles at every VMEM-path
+    size (probed on v5e at T=700 and T=1024, the path max; Mosaic reuses
+    the row loop's stack slots, unlike an unrolled head loop — see
+    tools/experimental_tm_attention.py). The cap of 4: hb>=8 VMEM-crashes
+    at T>=513 (tools/sweep_vmem_attention.py). The 768 boundary: hb=4 wins
+    below it (T=700: 3.61 vs 3.77 ms fwd+bwd; T=513/517: sweep optimum)
+    and hb=1 wins at the top (T=1024: 4.11 vs 4.20)."""
     if t_pad >= 768:
         return 1
     for hb in (4, 2, 1):
@@ -215,7 +193,7 @@ def _fused_fwd_impl(q, k, v, scale):
     spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
-        functools.partial(_vmem_fwd_kernel, scale=s, t_real=T),
+        functools.partial(_vmem_fwd_kernel, scale=s),
         grid=(B * H // hb,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, lse_spec),
@@ -243,7 +221,7 @@ def _fused_bwd(scale, residuals, g):
     spec = pl.BlockSpec((hb, t_pad, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((hb, 1, t_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_vmem_bwd_kernel, scale=s, t_real=T),
+        functools.partial(_vmem_bwd_kernel, scale=s),
         grid=(B * H // hb,),
         in_specs=[spec, spec, spec, spec, spec, lse_spec],
         out_specs=(spec, spec, spec),

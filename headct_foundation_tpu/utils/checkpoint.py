@@ -58,6 +58,20 @@ def _fully_addressable(tree: Any) -> bool:
     )
 
 
+def _needs_collective(tree: Any) -> bool:
+    """True iff fetching the tree requires a cross-process collective.
+
+    Non-addressable leaves that are FULLY REPLICATED (pure data parallelism —
+    the common multi-host case) do not: every process can read its local
+    replica, so non-writer processes can skip the fetch entirely."""
+    return any(
+        isinstance(leaf, jax.Array)
+        and not leaf.is_fully_addressable
+        and not leaf.is_fully_replicated
+        for leaf in jax.tree.leaves(tree)
+    )
+
+
 class _AsyncSaver:
     """One background writer for checkpoint serialization.
 
@@ -105,10 +119,20 @@ def _snapshot(tree: Any) -> Any:
     """Device-side copy of every jax.Array leaf (an HBM->HBM copy, ~ms/GB —
     NOT a transfer). The train loop donates the live state's buffers to the
     next step (donate_argnums), so a background thread must never read them;
-    the copies are ours alone and are fetched/serialized off-thread."""
-    return jax.tree.map(
-        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
-    )
+    the copies are ours alone and are fetched/serialized off-thread.
+
+    Non-addressable FULLY-REPLICATED leaves (multi-host pure-DP) are copied
+    from the local replica shard: jnp.copy of the global array would be a
+    cross-process dispatch, which process 0 cannot enter alone."""
+
+    def _copy(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if not x.is_fully_addressable:
+            return jnp.copy(x.addressable_data(0))
+        return jnp.copy(x)
+
+    return jax.tree.map(_copy, tree)
 
 
 def save_checkpoint(
@@ -128,11 +152,13 @@ def save_checkpoint(
     boundary doesn't stall on serializing ~GBs of state (the reference's
     torch.save is fully synchronous on the trainer, src/utils/misc.py:35-52).
 
-    Multi-host: call from EVERY process. States with cross-process-sharded
+    Multi-host: call from EVERY process. States with cross-process-SHARDED
     leaves are gathered with a collective (synchronously on the main thread —
     a background-thread collective could interleave with the train loop's
-    and deadlock); process 0 alone writes the file, so the returned path
-    exists on process 0's filesystem only.
+    and deadlock). Fully-REPLICATED multi-host states (pure DP) need no
+    collective: non-writer processes return without touching the state, and
+    process 0 reads its local replica (off-thread when async). Process 0
+    alone writes the file, so the returned path exists on its filesystem only.
     """
     path = os.path.join(dir_add, filename)
 
@@ -142,7 +168,7 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "extra": dict(extra) if extra else {},
     }
-    if not _fully_addressable(devtree):
+    if _needs_collective(devtree):
         # collective gather on all processes; numpy from here on
         devtree = to_numpy_tree(devtree)
     if jax.process_index() != 0:
@@ -155,7 +181,9 @@ def save_checkpoint(
         payload = {
             "epoch": int(epoch),
             "best_loss": float(best_loss),
-            "step": int(jax.device_get(devtree["step"])),
+            # _fetch_global, not device_get: on the sync multi-host pure-DP
+            # path step is still a non-addressable replicated jax.Array
+            "step": int(_fetch_global(devtree["step"])),
             "params": serialization.to_state_dict(_to_numpy_tree(devtree["params"])),
             "opt_state": serialization.to_state_dict(
                 _to_numpy_tree(devtree["opt_state"])
@@ -200,15 +228,21 @@ def save_checkpoint_orbax(
     state: Any, epoch: int, best_loss: float, dir_add: str, name: str = "ckpt",
     logger=None,
 ) -> str:
+    """Orbax-native save. Multi-host: call from EVERY process (orbax's save
+    barriers across processes internally — a rank-0-only call would hang).
+    Unlike the pickle backend there is NO gather: jax.Array leaves are handed
+    to orbax live, and each process writes its own addressable shards —
+    checkpoint cost stays O(state/process) however the state is sharded."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(dir_add, name))
+    os.makedirs(dir_add, exist_ok=True)
     payload = {
         "epoch": int(epoch),
         "best_loss": float(best_loss),
-        "step": int(jax.device_get(state.step)),
-        "params": _to_numpy_tree(state.params),
-        "opt_state": serialization.to_state_dict(_to_numpy_tree(state.opt_state)),
+        "step": int(_fetch_global(state.step)),
+        "params": state.params,
+        "opt_state": serialization.to_state_dict(state.opt_state),
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)

@@ -123,6 +123,34 @@ _WORKER = textwrap.dedent(
         jax.device_get(fs3.params["blocks_0"]["attn"]["qkv"]["kernel"]))
     assert np.array_equal(got, ref), float(np.abs(got - ref).max())
     print("CKPT OK")
+
+    # --- pure-DP (fully-REPLICATED) state: no collective is needed, the
+    # non-writer process returns without fetching, and async_save snapshots
+    # from the local replica (jnp.copy of the global array would be a
+    # cross-process dispatch process 0 cannot enter alone) ---
+    from headct_foundation_tpu.utils.checkpoint import wait_for_saves
+    p_rep = fs3.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert not p_rep.is_fully_addressable and p_rep.is_fully_replicated
+    save_checkpoint(fs3, 4, 0.25, {ckdir!r}, "rep.ckpt", async_save=True)
+    wait_for_saves()
+    multihost_utils.sync_global_devices("replicated ckpt written")
+    payload_r = load_checkpoint(os.path.join({ckdir!r}, "rep.ckpt"))
+    got_r = np.asarray(payload_r["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert np.array_equal(got_r, ref)
+    assert payload_r["epoch"] == 4
+    print("REPCKPT OK")
+
+    # --- orbax backend on the cross-process-SHARDED state: every process
+    # enters save (orbax barriers internally; each process writes its own
+    # addressable shards — no gather) ---
+    from headct_foundation_tpu.utils.checkpoint import save_checkpoint_orbax
+    save_checkpoint_orbax(fs2, 5, 0.125, {ckdir!r}, "orbax_ckpt")
+    multihost_utils.sync_global_devices("orbax ckpt written")
+    payload_o = load_checkpoint(os.path.join({ckdir!r}, "orbax_ckpt"))
+    got_o = np.asarray(payload_o["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert np.array_equal(got_o, ref), float(np.abs(got_o - ref).max())
+    assert payload_o["epoch"] == 5 and payload_o["step"] == 0
+    print("ORBAX OK")
     """
 )
 
@@ -175,3 +203,8 @@ def test_two_process_spmd(tmp_path):
     # sharded-state checkpoint: collective gather ran on both processes and
     # the reloaded values match the gathered live params on both
     assert len(_values("CKPT")) == 2
+    # replicated-state checkpoint (async, local-replica snapshot) reloads
+    # identically on both processes
+    assert len(_values("REPCKPT")) == 2
+    # orbax backend: cooperative sharded write + reload on both processes
+    assert len(_values("ORBAX")) == 2

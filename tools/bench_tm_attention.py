@@ -2,7 +2,7 @@
 
 Measures fwd+bwd per call at the workload shapes for (a) the production
 [B*H, T, D] VMEM kernel (pays 8 full-tensor HBM transposes per call) and
-(b) the token-major kernel (ops/flash_attention_tm.py, no transposes).
+(b) the token-major kernel (tools/experimental_tm_attention.py, no transposes).
 Also cross-checks numerics (outputs + grads) between the two paths.
 
 Usage: python tools/bench_tm_attention.py
