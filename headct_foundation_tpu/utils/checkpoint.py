@@ -252,10 +252,32 @@ def save_checkpoint_orbax(
 
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
-    import orbax.checkpoint as ocp
+    """Restore an orbax checkpoint as a HOST-NUMPY tree.
 
+    Array leaves are explicitly restored as np.ndarray: checkpoints written
+    cooperatively by a multi-host run store jax.Array sharding metadata tied
+    to the writing topology, and restoring them as jax.Arrays on a different
+    topology (e.g. feature extraction on one host from a pod-trained
+    checkpoint) fails sharding deserialization. Numpy restoration reads the
+    full array from the shard files regardless of topology; restore_state
+    re-device_puts with the live state's shardings."""
+    import numpy as _np
+
+    import orbax.checkpoint as ocp
+    from orbax.checkpoint import metadata as ocp_md
+
+    path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=_np.ndarray)
+            if isinstance(m, ocp_md.ArrayMetadata)
+            and not isinstance(m, ocp_md.ScalarMetadata)
+            else ocp.RestoreArgs(),
+            meta_tree,
+            is_leaf=lambda m: isinstance(m, ocp_md.Metadata),
+        )
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def restore_state(

@@ -10,6 +10,7 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -208,3 +209,16 @@ def test_two_process_spmd(tmp_path):
     assert len(_values("REPCKPT")) == 2
     # orbax backend: cooperative sharded write + reload on both processes
     assert len(_values("ORBAX")) == 2
+
+    # operational scenario: a checkpoint written cooperatively by the
+    # 2-process run restores in THIS single-process driver (e.g. feature
+    # extraction on one host from a pod-trained checkpoint)
+    from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(str(tmp_path / "orbax_ckpt"))
+    assert payload["epoch"] == 5
+    qkv = np.asarray(payload["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert qkv.ndim == 2 and np.isfinite(qkv).all()
+    pickled = load_checkpoint(str(tmp_path / "mh.ckpt"))
+    ref = np.asarray(pickled["params"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert np.array_equal(qkv, ref)
