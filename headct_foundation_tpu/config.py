@@ -304,6 +304,12 @@ def _default_config() -> CfgNode:
     # in a background thread (the reference's torch.save is synchronous on
     # the trainer, src/utils/misc.py:35-52).
     _C.TRAIN.ASYNC_CKPT = True
+    # "pickle" (single-file, torch-era UX, gathers multi-host-sharded
+    # states to rank 0) or "orbax" (checkpoint directory; multi-host
+    # processes write their own shards cooperatively — O(state/process),
+    # measured 4.6x faster on the full ViT-B MAE state). Resume and
+    # torch export accept either transparently.
+    _C.TRAIN.CKPT_FORMAT = "pickle"
     _C.TRAIN.SCHEDULER = "cosine"
     _C.TRAIN.PER_WARMUP = 0.05
     _C.TRAIN.GRAD_CLIP = 1.0

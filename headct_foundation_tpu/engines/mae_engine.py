@@ -519,6 +519,7 @@ def trainer(
             state, epoch, best_loss, config.MODEL.DIR, f"latest_{save_name}",
             logger=logger, extra=checkpoint_extra,
             async_save=bool(config.TRAIN.ASYNC_CKPT),
+            fmt=str(config.TRAIN.CKPT_FORMAT),
         )
         if (epoch + 1) % val_every == 0 and val_loader is not None:
             val_stats = val_one_epoch(
@@ -534,6 +535,7 @@ def trainer(
                     state, epoch, best_loss, config.MODEL.DIR,
                     f"best_{save_name}", logger=logger, extra=checkpoint_extra,
                     async_save=bool(config.TRAIN.ASYNC_CKPT),
+            fmt=str(config.TRAIN.CKPT_FORMAT),
                 )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead

@@ -4,6 +4,7 @@ interpolation, config-wired fused Lion, and the save_attn surface."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from headct_foundation_tpu.config import default_config
 from headct_foundation_tpu.engines import dino_engine, mae_engine
@@ -17,6 +18,7 @@ from headct_foundation_tpu.utils.checkpoint import (
     load_checkpoint,
     restore_dino_state,
     save_checkpoint,
+    wait_for_saves,
 )
 from headct_foundation_tpu.utils.torch_interop import merge_params
 
@@ -48,11 +50,14 @@ def _tiny_dino_config(tmp_path):
     return cfg
 
 
-def test_dino_full_resume_identical_losses(tmp_path):
+@pytest.mark.parametrize("fmt", ["pickle", "orbax"])
+def test_dino_full_resume_identical_losses(tmp_path, fmt):
     """Continuous 4-step run == 2 steps + full checkpoint resume + 2 steps.
 
     The reference restores model + optimizer + epoch (src/utils/misc.py:55-69);
     a lossy resume (fresh Adam moments / zero center) diverges immediately.
+    Parametrized over TRAIN.CKPT_FORMAT backends; orbax runs the
+    AsyncCheckpointer path (async_save=True + wait_for_saves).
     """
     cfg = _tiny_dino_config(tmp_path)
     mesh = make_mesh(data=8)
@@ -88,7 +93,9 @@ def test_dino_full_resume_identical_losses(tmp_path):
                "center": state.center,
                "head_stats": state.head_stats,
                "teacher_head_stats": state.teacher_head_stats},
+        fmt=fmt, async_save=(fmt == "orbax"),
     )
+    wait_for_saves()
     state2 = fresh_state()
     state2, epoch, _ = restore_dino_state(state2, load_checkpoint(path))
     assert int(jax.device_get(state2.step)) == 2
