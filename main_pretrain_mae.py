@@ -120,7 +120,11 @@ def main(config, wandb_run, logger):
     start_epoch = 0
     if config.MODEL.PRETRAINED and config.MODEL.PRETRAINED != "None":
         path = config.MODEL.PRETRAINED
-        if path.endswith((".pt", ".pth")):
+        if path.endswith((".pt", ".pth")) and not os.path.isdir(path):
+            # extension alone is not enough: an orbax checkpoint is a
+            # DIRECTORY whose name carries MODEL.SAVE_NAME (often *.pt);
+            # only torch FILES take the merge branch — directories are
+            # ours and get the full restore below
             merged = load_pretrained_into(
                 jax.device_get(state.params), path,
                 norm_layer=config.MAE.NORM_LAYER, logger=logger,

@@ -173,3 +173,31 @@ def test_main_downstream_with_pretrained(tmp_path):
         str(tmp_path),
     )
     assert os.path.exists(tmp_path / "preds_pkl" / "e2e_preds.pkl")
+
+
+@pytest.mark.slow
+def test_main_pretrain_mae_orbax_format_and_resume(tmp_path):
+    """TRAIN.CKPT_FORMAT=orbax end to end: the trainer writes latest_/best_
+    as orbax checkpoint DIRECTORIES, and a second run resumes from the
+    directory path through the same --model_load_path flag (load_checkpoint
+    dispatches on isdir)."""
+    _make_dataset(tmp_path)
+    cfg = tmp_path / "mae_tiny.yaml"
+    cfg.write_text(_tiny_yaml(tmp_path, {
+        "MAE": _TINY_MAE,
+        "TRAIN": {"MAX_EPOCHS": 1, "VAL_EVERY": 5, "CKPT_FORMAT": "orbax"},
+    }))
+    _run(
+        [sys.executable, "main_pretrain_mae.py", "--cfg", str(cfg),
+         "--local_rank", "0"],
+        REPO,
+    )
+    saved_dir = tmp_path / "model_saved"
+    latest = next(f for f in os.listdir(saved_dir) if f.startswith("latest_"))
+    assert (saved_dir / latest).is_dir(), "orbax checkpoint must be a directory"
+    result = _run(
+        [sys.executable, "main_pretrain_mae.py", "--cfg", str(cfg),
+         "--local_rank", "0", "--model_load_path", str(saved_dir / latest)],
+        REPO,
+    )
+    assert "Resumed from" in result.stdout + result.stderr
