@@ -374,6 +374,13 @@ def _is_torch_checkpoint(path: str) -> bool:
     return _classify_checkpoint(path)[0]
 
 
+# Public name: the CLI mains route --model_load_path by CONTENT (torch zip /
+# legacy pickle -> params-only merge; our pickle or orbax dir -> full
+# restore) — extension is meaningless (our checkpoints can be named *.pt
+# via MODEL.SAVE_NAME, and orbax checkpoints are directories).
+classify_checkpoint = _classify_checkpoint
+
+
 def load_pretrained_into(
     params: Any,
     checkpoint_path: str,

@@ -24,7 +24,10 @@ from headct_foundation_tpu.engines import dino_engine
 from headct_foundation_tpu.logger import create_logger
 from headct_foundation_tpu.parallel.mesh import mesh_from_config
 from headct_foundation_tpu.utils.checkpoint import load_checkpoint, restore_dino_state
-from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+from headct_foundation_tpu.utils.torch_interop import (
+    classify_checkpoint,
+    load_pretrained_into,
+)
 from main_pretrain_mae import init_wandb
 
 
@@ -95,11 +98,11 @@ def main(config, wandb_run, logger):
     start_epoch = 0
     if config.MODEL.PRETRAINED and config.MODEL.PRETRAINED != "None":
         path = config.MODEL.PRETRAINED
-        if path.endswith((".pt", ".pth")) and not os.path.isdir(path):
-            # extension alone is not enough: an orbax checkpoint is a
-            # DIRECTORY whose name carries MODEL.SAVE_NAME (often *.pt);
-            # only torch FILES take the merge branch — directories are
-            # ours and get the full restore below
+        # Routed by CONTENT, not extension: our checkpoints may be named
+        # *.pt (MODEL.SAVE_NAME default) and orbax checkpoints are
+        # directories — only genuine torch files take the merge branch.
+        is_torch, payload = classify_checkpoint(path)
+        if is_torch:
             merged = load_pretrained_into(
                 jax.device_get(state.params), path,
                 norm_layer=config.VIT.NORM_LAYER, logger=logger,
@@ -117,7 +120,8 @@ def main(config, wandb_run, logger):
                 teacher_params=put(state.teacher_params, merged_teacher),
             )
         else:
-            payload = load_checkpoint(path)
+            if payload is None:  # orbax checkpoint directory
+                payload = load_checkpoint(path)
             try:
                 # Full resume: params + teacher + opt_state + center + head
                 # stats + step (reference restores model/optimizer/scheduler/

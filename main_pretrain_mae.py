@@ -29,7 +29,11 @@ from headct_foundation_tpu.engines import mae_engine
 from headct_foundation_tpu.logger import create_logger
 from headct_foundation_tpu.parallel.mesh import mesh_from_config
 from headct_foundation_tpu.utils.checkpoint import load_checkpoint, restore_state
-from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+from headct_foundation_tpu.utils.torch_interop import (
+    classify_checkpoint,
+    load_pretrained_into,
+    merge_params,
+)
 
 
 def parse_option():
@@ -120,11 +124,11 @@ def main(config, wandb_run, logger):
     start_epoch = 0
     if config.MODEL.PRETRAINED and config.MODEL.PRETRAINED != "None":
         path = config.MODEL.PRETRAINED
-        if path.endswith((".pt", ".pth")) and not os.path.isdir(path):
-            # extension alone is not enough: an orbax checkpoint is a
-            # DIRECTORY whose name carries MODEL.SAVE_NAME (often *.pt);
-            # only torch FILES take the merge branch — directories are
-            # ours and get the full restore below
+        # Routed by CONTENT, not extension: our checkpoints may be named
+        # *.pt (MODEL.SAVE_NAME default) and orbax checkpoints are
+        # directories — only genuine torch files take the merge branch.
+        is_torch, payload = classify_checkpoint(path)
+        if is_torch:
             merged = load_pretrained_into(
                 jax.device_get(state.params), path,
                 norm_layer=config.MAE.NORM_LAYER, logger=logger,
@@ -136,9 +140,25 @@ def main(config, wandb_run, logger):
                 )
             )
         else:
-            payload = load_checkpoint(path)
-            state, start_epoch, _ = restore_state(state, payload)
-            logger.info(f"Resumed from {path} at epoch {start_epoch}")
+            if payload is None:  # orbax checkpoint directory
+                payload = load_checkpoint(path)
+            try:
+                state, start_epoch, _ = restore_state(state, payload)
+                logger.info(f"Resumed from {path} at epoch {start_epoch}")
+            except (ValueError, KeyError, TypeError) as e:
+                # Architecture-mismatched checkpoint: tolerant strict=False
+                # param merge (reference load_model, misc.py:72-96) — same
+                # fallback the DINO main has.
+                logger.info(f"Full resume failed ({e}); merging params only")
+                merged, _, _ = merge_params(
+                    jax.device_get(state.params), payload["params"]
+                )
+                state = state.replace(
+                    params=jax.tree.map(
+                        lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                        state.params, merged,
+                    )
+                )
 
     train_step = mae_engine.make_train_step(
         mesh, augment=True, accum_steps=config.TRAIN.ACCUM_STEPS, config=config

@@ -116,6 +116,19 @@ def test_main_pretrain_mae(tmp_path):
     assert any(f.startswith("latest_") for f in saved), saved
     assert any(f.startswith("best_") for f in saved), saved
 
+    # full resume from OUR pickle even though the default SAVE_NAME gives it
+    # a .pt extension — routing is by content, not extension (a torch-like
+    # extension must not silently downgrade resume to a params-only merge)
+    latest = next(f for f in saved if f.startswith("latest_"))
+    assert latest.endswith(".pt"), latest  # default SAVE_NAME is debug.pt
+    result = _run(
+        [sys.executable, "main_pretrain_mae.py", "--cfg", str(cfg),
+         "--local_rank", "0", "--model_load_path",
+         str(tmp_path / "model_saved" / latest)],
+        REPO,
+    )
+    assert "Resumed from" in result.stdout + result.stderr
+
 
 @pytest.mark.slow
 def test_main_pretrain_dino(tmp_path):
@@ -136,6 +149,17 @@ def test_main_pretrain_dino(tmp_path):
     )
     saved = os.listdir(tmp_path / "model_saved")
     assert any(f.startswith("latest_") for f in saved), saved
+
+    # full DINO resume (teacher/center/head-stats path) from the written
+    # checkpoint, content-routed despite the .pt default SAVE_NAME
+    latest = next(f for f in saved if f.startswith("latest_"))
+    result = _run(
+        [sys.executable, "main_pretrain_dino.py", "--cfg", str(cfg),
+         "--local_rank", "0", "--model_load_path",
+         str(tmp_path / "model_saved" / latest)],
+        REPO,
+    )
+    assert "Resumed (full) from" in result.stdout + result.stderr
 
 
 @pytest.mark.slow
