@@ -618,7 +618,7 @@ def trainer(
                            "head_stats": state.head_stats,
                            "teacher_head_stats": state.teacher_head_stats},
                     async_save=bool(config.TRAIN.ASYNC_CKPT),
-            fmt=str(config.TRAIN.CKPT_FORMAT),
+                    fmt=str(config.TRAIN.CKPT_FORMAT),
                 )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead

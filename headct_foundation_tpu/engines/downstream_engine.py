@@ -587,7 +587,7 @@ def trainer(
                     # buffers implicitly)
                     extra={"batch_stats": state.batch_stats},
                     async_save=bool(config.TRAIN.ASYNC_CKPT),
-            fmt=str(config.TRAIN.CKPT_FORMAT),
+                    fmt=str(config.TRAIN.CKPT_FORMAT),
                 )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead

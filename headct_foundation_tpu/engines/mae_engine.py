@@ -535,7 +535,7 @@ def trainer(
                     state, epoch, best_loss, config.MODEL.DIR,
                     f"best_{save_name}", logger=logger, extra=checkpoint_extra,
                     async_save=bool(config.TRAIN.ASYNC_CKPT),
-            fmt=str(config.TRAIN.CKPT_FORMAT),
+                    fmt=str(config.TRAIN.CKPT_FORMAT),
                 )
     if hasattr(train_loader, "close"):
         train_loader.close()  # stop the post-final-epoch lookahead

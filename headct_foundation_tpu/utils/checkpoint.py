@@ -218,6 +218,13 @@ def save_checkpoint(
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        if os.path.isdir(path):
+            # leftover orbax DIRECTORY of the same name (a previous run with
+            # TRAIN.CKPT_FORMAT=orbax) — os.replace onto it would raise, and
+            # under async_save only at the NEXT epoch's join
+            import shutil
+
+            shutil.rmtree(path)
         os.replace(tmp, path)
         if logger:
             logger.info(f"Saved checkpoint {path}")

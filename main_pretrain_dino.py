@@ -131,33 +131,34 @@ def main(config, wandb_run, logger):
                 )
                 logger.info(f"Resumed (full) from {path} at epoch {start_epoch}")
             except (ValueError, KeyError, TypeError) as e:
-                # Architecture-mismatched checkpoint: tolerant strict=False
-                # param merge (reference load_model semantics, misc.py:72-96).
+                # Architecture-mismatched or bare-params checkpoint:
+                # tolerant strict=False WARM START (reference load_model
+                # semantics, misc.py:72-96 — the reference's merge path
+                # never restores the epoch; a mismatched checkpoint is a
+                # different run, so schedules restart at epoch 0). Weights
+                # may sit under 'state_dict' (reference layout) or 'params'.
                 logger.info(f"Full resume failed ({e}); merging params only")
                 from headct_foundation_tpu.utils.torch_interop import merge_params
 
-                merged, _, _ = merge_params(
-                    jax.device_get(state.params), payload["params"]
+                tree = payload.get("state_dict", payload.get("params", payload))
+                put = lambda tgt, n_tree: jax.tree.map(
+                    # cast to the template dtype (_restore_tree contract)
+                    lambda t, n: jax.device_put(
+                        np.asarray(n, dtype=t.dtype), t.sharding
+                    ),
+                    tgt, n_tree,
                 )
-                state = state.replace(
-                    params=jax.tree.map(
-                        lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                        state.params, merged,
-                    )
-                )
+                merged, _, _ = merge_params(jax.device_get(state.params), tree)
+                state = state.replace(params=put(state.params, merged))
                 if "momentum_model_state_dict" in payload:
                     mt, _, _ = merge_params(
                         jax.device_get(state.teacher_params),
                         payload["momentum_model_state_dict"],
                     )
                     state = state.replace(
-                        teacher_params=jax.tree.map(
-                            lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                            state.teacher_params, mt,
-                        )
+                        teacher_params=put(state.teacher_params, mt)
                     )
-                start_epoch = payload.get("epoch", 0)
-                logger.info(f"Resumed from {path} at epoch {start_epoch}")
+                logger.info(f"Warm-started params from {path} (epoch 0)")
 
     train_step = dino_engine.make_train_step(config, mesh)
     eval_step = dino_engine.make_eval_step(config, mesh)

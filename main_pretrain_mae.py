@@ -146,16 +146,22 @@ def main(config, wandb_run, logger):
                 state, start_epoch, _ = restore_state(state, payload)
                 logger.info(f"Resumed from {path} at epoch {start_epoch}")
             except (ValueError, KeyError, TypeError) as e:
-                # Architecture-mismatched checkpoint: tolerant strict=False
-                # param merge (reference load_model, misc.py:72-96) — same
-                # fallback the DINO main has.
+                # Architecture-mismatched or bare-params checkpoint:
+                # tolerant strict=False WARM START (reference load_model,
+                # misc.py:72-96 — the reference's merge path never restores
+                # the epoch either; start_epoch stays 0). Weights may sit
+                # under 'state_dict' (reference layout) or 'params' (ours).
                 logger.info(f"Full resume failed ({e}); merging params only")
-                merged, _, _ = merge_params(
-                    jax.device_get(state.params), payload["params"]
-                )
+                tree = payload.get("state_dict", payload.get("params", payload))
+                merged, _, _ = merge_params(jax.device_get(state.params), tree)
                 state = state.replace(
                     params=jax.tree.map(
-                        lambda t, n: jax.device_put(np.asarray(n), t.sharding),
+                        # cast to the template dtype: the jitted step was
+                        # compiled against the state's avals (_restore_tree
+                        # contract)
+                        lambda t, n: jax.device_put(
+                            np.asarray(n, dtype=t.dtype), t.sharding
+                        ),
                         state.params, merged,
                     )
                 )

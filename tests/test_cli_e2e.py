@@ -225,3 +225,22 @@ def test_main_pretrain_mae_orbax_format_and_resume(tmp_path):
         REPO,
     )
     assert "Resumed from" in result.stdout + result.stderr
+
+    # reference-layout pickle ({'state_dict': ...}, no 'params'/'opt_state'):
+    # classify_checkpoint marks it ours, full restore raises, and the
+    # tolerant fallback must merge from 'state_dict' instead of KeyError'ing
+    import pickle
+
+    sys.path.insert(0, REPO)
+    from headct_foundation_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(str(saved_dir / latest))
+    bare = tmp_path / "bare_params.pt"
+    with open(bare, "wb") as f:
+        pickle.dump({"epoch": 0, "state_dict": payload["params"]}, f)
+    result = _run(
+        [sys.executable, "main_pretrain_mae.py", "--cfg", str(cfg),
+         "--local_rank", "0", "--model_load_path", str(bare)],
+        REPO,
+    )
+    assert "merging params only" in result.stdout + result.stderr

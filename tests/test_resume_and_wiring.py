@@ -284,3 +284,27 @@ def test_async_checkpoint_error_surfaces(tmp_path):
     with _pytest.raises(Exception):
         wait_for_saves()
     wait_for_saves()  # error is cleared after being raised once
+
+
+def test_pickle_save_replaces_stale_orbax_dir(tmp_path):
+    """Switching TRAIN.CKPT_FORMAT from orbax back to pickle in the same
+    MODEL.DIR must not crash on the leftover checkpoint DIRECTORY of the
+    same name (os.replace onto a directory raises; under async_save the
+    error would surface one epoch late from the writer thread)."""
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.utils.checkpoint import wait_for_saves
+
+    class S:
+        step = jnp.int32(1)
+        params = {"w": jnp.ones((2, 2))}
+        opt_state = {"m": jnp.zeros((2, 2))}
+
+    save_checkpoint(S(), 0, 1.0, str(tmp_path), "ck.pt", fmt="orbax")
+    assert (tmp_path / "ck.pt").is_dir()
+    save_checkpoint(S(), 1, 0.5, str(tmp_path), "ck.pt", fmt="pickle",
+                    async_save=True)
+    wait_for_saves()
+    assert (tmp_path / "ck.pt").is_file()
+    payload = load_checkpoint(str(tmp_path / "ck.pt"))
+    assert payload["epoch"] == 1
