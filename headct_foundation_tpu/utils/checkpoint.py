@@ -51,13 +51,6 @@ def to_numpy_tree(tree: Any) -> Any:
 _to_numpy_tree = to_numpy_tree  # internal alias
 
 
-def _fully_addressable(tree: Any) -> bool:
-    return all(
-        not isinstance(leaf, jax.Array) or leaf.is_fully_addressable
-        for leaf in jax.tree.leaves(tree)
-    )
-
-
 def _needs_collective(tree: Any) -> bool:
     """True iff fetching the tree requires a cross-process collective.
 

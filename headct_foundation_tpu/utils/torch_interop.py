@@ -193,6 +193,20 @@ def _rename_module_path(
 POS_EMBED_LEAVES = ("position_embeddings", "decoder_pos_embed")
 
 
+def put_like(target: Any, source: Any) -> Any:
+    """device_put a (merged) host tree onto ``target``'s shardings, cast to
+    the template dtype: the jitted steps were compiled against the target
+    state's avals, so a checkpoint from a different-precision run must not
+    silently change them (same contract as checkpoint._restore_tree). The
+    CLI mains use this for every merged-params warm start."""
+    import jax
+
+    return jax.tree.map(
+        lambda t, n: jax.device_put(np.asarray(n, dtype=t.dtype), t.sharding),
+        target, source,
+    )
+
+
 def merge_params(
     target: Any, source: Any
 ) -> Tuple[Any, List[str], List[str]]:

@@ -22,7 +22,10 @@ from headct_foundation_tpu.config import get_config
 from headct_foundation_tpu.engines import downstream_engine
 from headct_foundation_tpu.logger import create_logger
 from headct_foundation_tpu.parallel.mesh import mesh_from_config
-from headct_foundation_tpu.utils.torch_interop import load_pretrained_into
+from headct_foundation_tpu.utils.torch_interop import (
+    load_pretrained_into,
+    put_like,
+)
 from main_pretrain_mae import init_wandb
 
 
@@ -118,12 +121,7 @@ def main(config, wandb_run, logger):
         )
         new_params = dict(jax.device_get(state.params))
         new_params["model"] = merged_model
-        state = state.replace(
-            params=jax.tree.map(
-                lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                state.params, new_params,
-            )
-        )
+        state = state.replace(params=put_like(state.params, new_params))
 
     n_trainable = sum(
         int(np.prod(p.shape))
@@ -144,10 +142,7 @@ def main(config, wandb_run, logger):
     # Test with the best-by-AUROC weights (reference: engine_downstream.py:410-412).
     best_params, best_stats = best
     state = state.replace(
-        params=jax.tree.map(
-            lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-            state.params, best_params,
-        ),
+        params=put_like(state.params, best_params),
         batch_stats=jax.device_get(best_stats),
     )
     test_stats = downstream_engine.tester(

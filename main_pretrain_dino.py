@@ -27,6 +27,7 @@ from headct_foundation_tpu.utils.checkpoint import load_checkpoint, restore_dino
 from headct_foundation_tpu.utils.torch_interop import (
     classify_checkpoint,
     load_pretrained_into,
+    put_like,
 )
 from main_pretrain_mae import init_wandb
 
@@ -112,12 +113,9 @@ def main(config, wandb_run, logger):
                 norm_layer=config.VIT.NORM_LAYER,
                 state_key="momentum_model_state_dict", logger=logger,
             )
-            put = lambda tgt, src: jax.tree.map(
-                lambda t, n: jax.device_put(np.asarray(n), t.sharding), tgt, src
-            )
             state = state.replace(
-                params=put(state.params, merged),
-                teacher_params=put(state.teacher_params, merged_teacher),
+                params=put_like(state.params, merged),
+                teacher_params=put_like(state.teacher_params, merged_teacher),
             )
         else:
             if payload is None:  # orbax checkpoint directory
@@ -141,22 +139,15 @@ def main(config, wandb_run, logger):
                 from headct_foundation_tpu.utils.torch_interop import merge_params
 
                 tree = payload.get("state_dict", payload.get("params", payload))
-                put = lambda tgt, n_tree: jax.tree.map(
-                    # cast to the template dtype (_restore_tree contract)
-                    lambda t, n: jax.device_put(
-                        np.asarray(n, dtype=t.dtype), t.sharding
-                    ),
-                    tgt, n_tree,
-                )
                 merged, _, _ = merge_params(jax.device_get(state.params), tree)
-                state = state.replace(params=put(state.params, merged))
+                state = state.replace(params=put_like(state.params, merged))
                 if "momentum_model_state_dict" in payload:
                     mt, _, _ = merge_params(
                         jax.device_get(state.teacher_params),
                         payload["momentum_model_state_dict"],
                     )
                     state = state.replace(
-                        teacher_params=put(state.teacher_params, mt)
+                        teacher_params=put_like(state.teacher_params, mt)
                     )
                 logger.info(f"Warm-started params from {path} (epoch 0)")
 

@@ -33,6 +33,7 @@ from headct_foundation_tpu.utils.torch_interop import (
     classify_checkpoint,
     load_pretrained_into,
     merge_params,
+    put_like,
 )
 
 
@@ -133,12 +134,7 @@ def main(config, wandb_run, logger):
                 jax.device_get(state.params), path,
                 norm_layer=config.MAE.NORM_LAYER, logger=logger,
             )
-            state = state.replace(
-                params=jax.tree.map(
-                    lambda t, n: jax.device_put(np.asarray(n), t.sharding),
-                    state.params, merged,
-                )
-            )
+            state = state.replace(params=put_like(state.params, merged))
         else:
             if payload is None:  # orbax checkpoint directory
                 payload = load_checkpoint(path)
@@ -154,17 +150,7 @@ def main(config, wandb_run, logger):
                 logger.info(f"Full resume failed ({e}); merging params only")
                 tree = payload.get("state_dict", payload.get("params", payload))
                 merged, _, _ = merge_params(jax.device_get(state.params), tree)
-                state = state.replace(
-                    params=jax.tree.map(
-                        # cast to the template dtype: the jitted step was
-                        # compiled against the state's avals (_restore_tree
-                        # contract)
-                        lambda t, n: jax.device_put(
-                            np.asarray(n, dtype=t.dtype), t.sharding
-                        ),
-                        state.params, merged,
-                    )
-                )
+                state = state.replace(params=put_like(state.params, merged))
 
     train_step = mae_engine.make_train_step(
         mesh, augment=True, accum_steps=config.TRAIN.ACCUM_STEPS, config=config
