@@ -308,3 +308,21 @@ def test_pickle_save_replaces_stale_orbax_dir(tmp_path):
     assert (tmp_path / "ck.pt").is_file()
     payload = load_checkpoint(str(tmp_path / "ck.pt"))
     assert payload["epoch"] == 1
+
+
+def test_async_saver_surfaces_write_errors():
+    """A failed background checkpoint write must raise at the next
+    wait_for_saves/submit, not vanish (the engines call wait_for_saves at
+    the end of training; a silent failure would mean no checkpoint and no
+    error)."""
+    from headct_foundation_tpu.utils import checkpoint as ckpt
+
+    def _boom():
+        raise OSError("disk full")
+
+    ckpt._SAVER.submit(_boom)
+    with pytest.raises(OSError, match="disk full"):
+        wait_for_saves()
+    # the error is consumed; the saver is reusable afterwards
+    ckpt._SAVER.submit(lambda: None)
+    wait_for_saves()
