@@ -357,11 +357,49 @@ def tree_to_torch(
     return out
 
 
+class _NativeCheckpointUnpickler:
+    """Restricted unpickler for classification: our checkpoints pickle ONLY
+    nested dicts of numpy arrays and python scalars/strings, so any other
+    global (torch storage reconstructors, arbitrary classes) proves the file
+    is not ours — and, crucially, never gets imported or called. A plain
+    ``pickle.load`` here would hand a malicious ``--model_load_path`` file
+    arbitrary code execution merely to classify it."""
+
+    _SAFE_GLOBALS = {
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+    }
+
+    @classmethod
+    def load(cls, fileobj):
+        import pickle
+
+        safe = cls._SAFE_GLOBALS
+
+        class _Restricted(pickle.Unpickler):
+            def find_class(self, module, name):
+                # numpy.dtypes holds only dtype singletons (numpy >= 1.25
+                # pickles dtypes through it) — safe as a module.
+                if (module, name) in safe or module == "numpy.dtypes":
+                    return super().find_class(module, name)
+                raise pickle.UnpicklingError(
+                    f"non-native global {module}.{name} in checkpoint"
+                )
+
+        return _Restricted(fileobj).load()
+
+
 def _classify_checkpoint(path: str):
     """(is_torch, native_payload_or_None). torch.save produces a zip ('PK')
     or a legacy pickle needing torch's unpickler; our checkpoints are plain
     pickles of nested dicts. When the file IS ours, the loaded payload is
-    returned so the caller doesn't unpickle a multi-GB state twice."""
+    returned so the caller doesn't unpickle a multi-GB state twice. The
+    probe load is RESTRICTED (numpy-reconstruction globals only): anything
+    needing other globals is classified as torch without executing it."""
     import os
 
     if os.path.isdir(path):  # orbax checkpoint directory
@@ -371,10 +409,8 @@ def _classify_checkpoint(path: str):
     if head[:2] == b"PK":
         return True, None
     try:
-        import pickle
-
         with open(path, "rb") as f:
-            payload = pickle.load(f)
+            payload = _NativeCheckpointUnpickler.load(f)
         ours = isinstance(payload, dict) and (
             "params" in payload
             or isinstance(payload.get("state_dict"), dict)

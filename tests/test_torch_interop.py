@@ -277,3 +277,57 @@ def test_bn_dino_head_export_roundtrip():
     jax.tree.map(
         np.testing.assert_allclose, back["batch_stats"], stats
     )
+
+
+# ---- checkpoint classification: content routing without code execution ----
+
+def test_classify_checkpoint_routes_by_content(tmp_path):
+    import pickle
+
+    from headct_foundation_tpu.utils.torch_interop import classify_checkpoint
+
+    # ours: plain pickle of a nested numpy dict with 'params'
+    ours = tmp_path / "ours.pt"  # extension deliberately misleading
+    payload = {"params": {"w": np.arange(4, dtype=np.float32)}, "epoch": 3}
+    with open(ours, "wb") as f:
+        pickle.dump(payload, f)
+    is_torch, loaded = classify_checkpoint(str(ours))
+    assert not is_torch
+    np.testing.assert_array_equal(loaded["params"]["w"], payload["params"]["w"])
+    assert loaded["epoch"] == 3
+
+    # torch zip checkpoint
+    tz = tmp_path / "torch_zip.ckpt"
+    torch.save({"state_dict": {"w": torch.zeros(2)}}, str(tz))
+    assert classify_checkpoint(str(tz)) == (True, None)
+
+    # legacy (non-zip) torch pickle: needs torch globals -> classified torch
+    tl = tmp_path / "torch_legacy.ckpt"
+    torch.save({"state_dict": {"w": torch.zeros(2)}}, str(tl),
+               _use_new_zipfile_serialization=False)
+    assert classify_checkpoint(str(tl)) == (True, None)
+
+
+def test_classify_checkpoint_never_executes_foreign_pickles(tmp_path):
+    """A malicious pickle must be classified (as non-native) WITHOUT its
+    payload running (ADVICE r3: plain pickle.load here was arbitrary code
+    execution during classification)."""
+    import pickle
+
+    from headct_foundation_tpu.utils.torch_interop import classify_checkpoint
+
+    sentinel = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, (f"touch {sentinel}",))
+
+    evil_path = tmp_path / "evil.ckpt"
+    with open(evil_path, "wb") as f:
+        pickle.dump({"params": Evil()}, f)
+
+    is_torch, loaded = classify_checkpoint(str(evil_path))
+    assert is_torch and loaded is None  # routed to the torch importer
+    assert not sentinel.exists(), "classification executed pickle payload"
