@@ -222,6 +222,55 @@ class FeatureExtractor:
             maps.append(np.asarray(blocks[f"blocks_{i}"]["attn"]["att_mat"][0]))
         return maps
 
+    @property
+    def token_grid(self) -> Tuple[int, int, int]:
+        """Patch-token grid (tokens per spatial axis)."""
+        ps = self.model.patch_size
+        ps = (ps,) * 3 if isinstance(ps, int) else tuple(ps)
+        return tuple(self.img_size // p for p in ps)
+
+    def cls_attention_volume(
+        self, x: np.ndarray, layer: int = -1, head: Optional[int] = None
+    ) -> np.ndarray:
+        """CLS→patch attention of one layer, upsampled to volume resolution.
+
+        [B or none, C, R, R, R] -> [B, R, R, R] float32 in [0, 1-ish]: the
+        CLS query row of the chosen layer's post-softmax attention (mean over
+        heads, or one ``head``), reshaped onto the patch-token grid and
+        nearest-neighbor-upsampled so it overlays the input volume directly
+        (visualization surface of the reference's ``save_attn`` buffers)."""
+        maps = self.attention_maps(x)
+        grid = self.token_grid
+        att = cls_attention_grid(
+            maps, grid, num_register_tokens=self.model.num_register_tokens,
+            layer=layer, head=head,
+        )
+        reps = [self.img_size // g for g in grid]
+        for axis, r in enumerate(reps):
+            att = np.repeat(att, r, axis=axis + 1)
+        return att
+
+
+def cls_attention_grid(
+    att_maps: Sequence[np.ndarray],
+    grid: Sequence[int],
+    num_register_tokens: int = 0,
+    layer: int = -1,
+    head: Optional[int] = None,
+) -> np.ndarray:
+    """Per-layer [B, H, T, T] attention stacks -> [B, *grid] CLS→patch maps.
+
+    Token layout matches ViT.__call__: [CLS, registers..., patches...], so
+    the CLS query row is sliced past itself and the register tokens before
+    reshaping onto the spatial patch grid."""
+    m = np.asarray(att_maps[layer])  # [B, H, T, T]
+    skip = 1 + int(num_register_tokens)
+    cls_row = m[:, :, 0, skip:]  # [B, H, P]
+    att = cls_row.mean(axis=1) if head is None else cls_row[:, head]
+    grid = tuple(int(g) for g in grid)
+    assert att.shape[1] == int(np.prod(grid)), (att.shape, grid)
+    return att.reshape(att.shape[0], *grid).astype(np.float32)
+
 
 def build_extractor_from_config(config, checkpoint_path: Optional[str] = None,
                                 **kwargs) -> FeatureExtractor:

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -212,3 +214,74 @@ def test_retrieval_map_separable_clusters():
     assert retrieval_map(emb, rand_labels) < 0.9
     per = retrieval_map_per_class(emb, {"a": labels, "b": rand_labels})
     assert per["a"] > per["b"]
+
+
+def test_attention_maps_shapes_and_rows(extractor):
+    """save_attn surface: per-layer [B, H, T, T] post-softmax matrices whose
+    rows are probability distributions."""
+    x = np.random.RandomState(2).rand(2, 3, 24, 24, 24).astype(np.float32)
+    maps = extractor.attention_maps(x)
+    T = 1 + 8  # CLS + 2^3 patches
+    assert len(maps) == 2
+    for m in maps:
+        assert m.shape == (2, 4, T, T)
+        np.testing.assert_allclose(m.sum(axis=-1), 1.0, atol=1e-5)
+        assert (m >= 0).all()
+
+
+def test_cls_attention_volume_overlay_grid(extractor):
+    """CLS attention reshaped onto the token grid and upsampled to the
+    volume resolution: block-constant over each patch's voxels, and the
+    single-head slice must match slicing the raw maps."""
+    from headct_foundation_tpu.feature_extraction import cls_attention_grid
+
+    x = np.random.RandomState(3).rand(1, 3, 24, 24, 24).astype(np.float32)
+    att = extractor.cls_attention_volume(x, layer=-1)
+    assert att.shape == (1, 24, 24, 24)
+    # nearest-neighbor upsample => constant within each 12^3 patch block
+    blocks = att.reshape(1, 2, 12, 2, 12, 2, 12)
+    assert np.allclose(blocks, blocks[:, :, :1, :, :1, :, :1])
+
+    maps = extractor.attention_maps(x)
+    grid_mean = cls_attention_grid(maps, (2, 2, 2))
+    np.testing.assert_allclose(
+        grid_mean, np.asarray(maps[-1])[:, :, 0, 1:].mean(1).reshape(1, 2, 2, 2),
+        atol=1e-6,
+    )
+    att_h0 = cls_attention_grid(maps, (2, 2, 2), head=0)
+    np.testing.assert_allclose(
+        att_h0.ravel(), np.asarray(maps[-1])[0, 0, 0, 1:], atol=1e-6
+    )
+
+
+def test_cls_attention_grid_skips_register_tokens():
+    ext = FeatureExtractor(
+        img_size=24, patch_size=12, in_chans=1, hidden_size=36, mlp_dim=64,
+        num_layers=1, num_heads=2, num_register_tokens=3,
+    )
+    x = np.random.RandomState(4).rand(1, 1, 24, 24, 24).astype(np.float32)
+    att = ext.cls_attention_volume(x, layer=0)
+    assert att.shape == (1, 24, 24, 24)
+    maps = ext.attention_maps(x)
+    assert maps[0].shape == (1, 2, 1 + 3 + 8, 1 + 3 + 8)
+    # register rows excluded: grid values come from columns 4..12
+    expect = np.asarray(maps[0])[:, :, 0, 4:].mean(1).reshape(1, 2, 2, 2)
+    np.testing.assert_allclose(att[:, ::12, ::12, ::12], expect, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_visualize_attention_example_runs(tmp_path):
+    """The shipped example renders end-to-end (phantom scan -> PNG)."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "attn.png"
+    r = subprocess.run(
+        [_sys.executable, "examples/visualize_attention.py", "--out", str(out),
+         "--layers", "0", "1"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
