@@ -202,6 +202,12 @@ def _default_config() -> CfgNode:
     _C.DATA.DATASET = "nyu"
     _C.DATA.FEW_SHOTS = -1
     _C.DATA.NUM_CLASSES = 2
+    # Cache/wire tensor format: 'windowed' = fp16 [C, roi] fully windowed
+    # volumes (exact reference training-cache parity); 'hu16' = int16
+    # [1, roi] fixed-point HU, expanded to the window stack ON DEVICE inside
+    # the jitted steps — 3x fewer H2D bytes, the shipped production path
+    # (see data/transforms.py hu16 notes + MIGRATION.md).
+    _C.DATA.WIRE_FORMAT = "windowed"
 
     # General model settings (reference: config.py:32-38)
     _C.MODEL = CfgNode()

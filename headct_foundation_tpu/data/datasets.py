@@ -59,6 +59,11 @@ def get_class_mapping(dataset: str) -> Dict[str, int]:
     return CLASS_MAPPINGS[dataset]
 
 
+def _wire_format(config: Any) -> str:
+    """Cache/wire tensor format from config (see config.py DATA.WIRE_FORMAT)."""
+    return str(getattr(config.DATA, "WIRE_FORMAT", "windowed"))
+
+
 def _process_info() -> Tuple[int, int]:
     try:
         import jax
@@ -265,9 +270,12 @@ class DiskCache:
     orphaned and re-materialize on first use; rebuild with
     tools/build_cache.py."""
 
-    def __init__(self, cache_dir: Optional[str], roi: Sequence[int], in_channels: int):
+    def __init__(self, cache_dir: Optional[str], roi: Sequence[int], in_channels: int,
+                 wire: str = "windowed"):
+        assert wire in ("windowed", "hu16"), wire
         self.roi = tuple(roi)
         self.in_channels = in_channels
+        self.wire = wire
         if cache_dir:
             try:
                 os.makedirs(cache_dir, exist_ok=True)
@@ -276,6 +284,22 @@ class DiskCache:
         self.cache_dir = cache_dir
         self._device_prep = None
         self._packed: Any = False  # False = not probed; None = no packed index
+
+    @property
+    def wire_shape(self) -> Tuple[int, ...]:
+        """Shape of one cached/wire tensor (channel-first)."""
+        if self.wire == "hu16":
+            return (1, *self.roi)
+        return (self.in_channels, *self.roi)
+
+    def placeholder(self) -> np.ndarray:
+        """Error-shielding placeholder in the wire format: windows to
+        all-zero channels either way (reference: datasets.py:70-96)."""
+        from headct_foundation_tpu.data.transforms import HU16_PLACEHOLDER
+
+        if self.wire == "hu16":
+            return np.full(self.wire_shape, HU16_PLACEHOLDER, dtype=np.int16)
+        return np.zeros(self.wire_shape, dtype=np.float16)
 
     def _backend(self) -> str:
         """Which preprocessing backend _preprocess will take: 'device'
@@ -287,16 +311,24 @@ class DiskCache:
         if os.environ.get("HEADCT_DEVICE_CACHE", "0") == "1":
             return "device"
         if os.environ.get("HEADCT_NATIVE", "1") != "0" and len(set(self.roi)) == 1:
-            from headct_foundation_tpu.data.native_loader import native_available
+            from headct_foundation_tpu.data.native_loader import (
+                native_available,
+                native_supports_hu16,
+            )
 
-            if native_available():
+            if native_available() and (
+                self.wire != "hu16" or native_supports_hu16()
+            ):
                 return "native"
         return "python"
 
     def _key(self, path: str) -> str:
+        # hu16 tensors are a different format entirely — tag the key (the
+        # 'windowed' tag is omitted so existing caches stay valid)
+        wire_tag = "" if self.wire == "windowed" else f"|{self.wire}"
         h = hashlib.sha1(
             f"{path}|{self.roi}|{self.in_channels}|{_PIPELINE_VERSION}"
-            f"|{self._backend()}".encode()
+            f"|{self._backend()}{wire_tag}".encode()
         ).hexdigest()
         return h
 
@@ -314,15 +346,29 @@ class DiskCache:
                 )
 
                 self._device_prep = DevicePreprocessor(
-                    self.roi, self.in_channels, order="training"
+                    self.roi, self.in_channels,
+                    order="hu16" if self.wire == "hu16" else "training",
                 )
-            return np.asarray(self._device_prep(path)).astype(np.float16)
+            out = np.asarray(self._device_prep(path))
+            if self.wire == "hu16":
+                from headct_foundation_tpu.data.transforms import hu16_encode
+
+                return hu16_encode(out)
+            return out.astype(np.float16)
         if backend == "native":
             from headct_foundation_tpu.data.native_loader import (
                 load_and_preprocess_native,
             )
 
-            return load_and_preprocess_native(path, self.roi, self.in_channels)
+            return load_and_preprocess_native(
+                path, self.roi, self.in_channels, wire=self.wire
+            )
+        if self.wire == "hu16":
+            from headct_foundation_tpu.data.transforms import (
+                load_and_preprocess_hu16,
+            )
+
+            return load_and_preprocess_hu16(path, self.roi)
         return load_and_preprocess(path, self.roi, self.in_channels)
 
     def load(self, path: str) -> np.ndarray:
@@ -370,8 +416,10 @@ class PretrainDataset:
         self.roi = tuple(config.MODEL.ROI)
         self.in_channels = config.MODEL.IN_CHANS
         self.data = pd.read_csv(csv_file)
-        self.cache = DiskCache(cache_dir, self.roi, self.in_channels)
-        self.placeholder = np.zeros((self.in_channels, *self.roi), dtype=np.float16)
+        self.cache = DiskCache(
+            cache_dir, self.roi, self.in_channels, wire=_wire_format(config)
+        )
+        self.placeholder = self.cache.placeholder()
         self.error_count = 0
 
     def __len__(self) -> int:
@@ -381,7 +429,7 @@ class PretrainDataset:
         path = self.data["img_path"].iloc[idx]
         try:
             vol = self.cache.load(path)
-            if vol.shape != (self.in_channels, *self.roi):
+            if vol.shape != self.cache.wire_shape:
                 print(f"Wrong shape in index {idx}: {vol.shape}")
                 return self.placeholder, str(path)
             return vol, str(path)
@@ -406,8 +454,10 @@ class FinetuneDataset:
         self.in_channels = config.MODEL.IN_CHANS
         self.files = list(files)
         self.label_dict = label_dict
-        self.cache = DiskCache(cache_dir, self.roi, self.in_channels)
-        self.placeholder = np.zeros((self.in_channels, *self.roi), dtype=np.float16)
+        self.cache = DiskCache(
+            cache_dir, self.roi, self.in_channels, wire=_wire_format(config)
+        )
+        self.placeholder = self.cache.placeholder()
 
     def __len__(self) -> int:
         return len(self.files)
@@ -416,7 +466,7 @@ class FinetuneDataset:
         path = self.files[idx]
         try:
             vol = self.cache.load(path)
-            if vol.shape != (self.in_channels, *self.roi):
+            if vol.shape != self.cache.wire_shape:
                 print(f"Wrong shape in index {idx}: {vol.shape}")
                 return self.placeholder, 0, str(path)
             return vol, int(self.label_dict[path]), str(path)
@@ -509,7 +559,16 @@ class ThreadedLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices_fn = indices_fn
-        self.num_workers = max(num_workers, 1)
+        # Self-tuning worker cap: beyond ~4 threads per core the pool only
+        # adds GIL handoffs and scheduler thrash — measured on a 1-core host
+        # (packed cache, steady state): 2w 414, 4w 658-688, 8w 104-594,
+        # 16w 310-673 vol/s — the >4x-cores points are never better in
+        # expectation and wildly variant under any co-running CPU load.
+        # HEADCT_LOADER_MAX_WORKERS overrides the cap for sweeps.
+        cap = int(os.environ.get("HEADCT_LOADER_MAX_WORKERS", "0") or 0)
+        if cap <= 0:
+            cap = 4 * (os.cpu_count() or 1)
+        self.num_workers = max(1, min(num_workers, cap))
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0

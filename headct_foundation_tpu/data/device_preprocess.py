@@ -146,6 +146,12 @@ def _fused_preprocess(vol, mh, mw, md, n_reals, roi, in_channels, order):
     out = jnp.einsum("bw,awd->abd", mw, out)
     out = jnp.einsum("cd,abd->abc", md, out)
     ah, aw, ad = _device_area_ops(out, n_reals, roi)
+    if order == "hu16":
+        # raw-HU resize, NO window (the hu16 wire format windows on device
+        # at train time); caller encodes to int16 fixed point
+        r = jnp.einsum("ah,hwd->awd", ah, out)
+        r = jnp.einsum("bw,awd->abd", aw, r)
+        return jnp.einsum("cd,abd->abc", ad, r)[None]
     lows, highs = _window_params(in_channels)
     lo = jnp.asarray(lows)[:, None, None, None]
     hi = jnp.asarray(highs)[:, None, None, None]
@@ -158,6 +164,40 @@ def _fused_preprocess(vol, mh, mw, md, n_reals, roi, in_channels, order):
     r = jnp.einsum("bw,awd->abd", aw, r)
     r = jnp.einsum("cd,abd->abc", ad, r)
     return jnp.clip((r[None] - lo) / (hi - lo), 0.0, 1.0)
+
+
+def device_hu16_window(batch: jax.Array, in_channels: int) -> jax.Array:
+    """hu16 wire batches -> windowed channel stacks, on device.
+
+    [B, 1, H, W, D] int16 fixed-point HU (data/transforms.py hu16_encode)
+    -> [B, C, H, W, D] float32 in [0, 1]. Pointwise; XLA fuses it into the
+    consumer (the patch-embed matmul's input fusion), so expanding the
+    3-window stack on device costs no extra HBM pass while the wire carries
+    3x fewer bytes. Matches transforms.window_stack math exactly
+    (window contract: reference src/data/transforms.py:8-36)."""
+    from headct_foundation_tpu.data.transforms import HU16_SCALE
+
+    assert batch.ndim == 5 and batch.shape[1] == 1, batch.shape
+    lows, highs = _window_params(in_channels)
+    lo = jnp.asarray(lows)[None, :, None, None, None]
+    hi = jnp.asarray(highs)[None, :, None, None, None]
+    hu = batch.astype(jnp.float32) * jnp.float32(1.0 / HU16_SCALE)
+    return jnp.clip((hu - lo) / (hi - lo), 0.0, 1.0)
+
+
+def wire_to_compute(batch: jax.Array, config, in_channels: int,
+                    dtype=jnp.bfloat16) -> jax.Array:
+    """Jit-traceable entry cast shared by the engines' train/eval steps:
+    wire-format batch -> [B, C, ...] compute-dtype volumes. 'windowed'
+    batches (fp16 off the disk cache) just cast; 'hu16' batches expand the
+    window stack on device FIRST — windowing must precede the per-step
+    intensity augmentations, which the reference applies to windowed
+    volumes (src/data/transforms.py:193-239)."""
+    wire = (str(getattr(config.DATA, "WIRE_FORMAT", "windowed"))
+            if config is not None else "windowed")
+    if wire == "hu16":
+        return device_hu16_window(batch, in_channels).astype(dtype)
+    return batch.astype(dtype)
 
 
 def _window_params(in_channels: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -184,7 +224,7 @@ class DevicePreprocessor:
 
     def __init__(self, roi: Sequence[int], in_channels: int,
                  order: str = "notebook"):
-        assert order in ("notebook", "training"), order
+        assert order in ("notebook", "training", "hu16"), order
         self.roi = tuple(int(r) for r in roi)
         self.in_channels = in_channels
         self.order = order

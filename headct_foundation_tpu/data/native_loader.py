@@ -82,6 +82,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_int,
             ]
+            # capability probe (v4+): older prebuilt .so lacks it
+            try:
+                lib.headct_abi_version.restype = ctypes.c_int
+                lib.headct_abi_version.argtypes = []
+                lib._abi = int(lib.headct_abi_version())
+            except AttributeError:
+                lib._abi = 0
             # decode-only API is optional (v3+): an older prebuilt .so
             # without it must NOT disable the whole native path
             try:
@@ -112,27 +119,42 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def native_supports_hu16() -> bool:
+    """True when the built .so implements the hu16 wire format (ABI >= 4)."""
+    lib = get_lib()
+    return lib is not None and getattr(lib, "_abi", 0) >= 4
+
+
 def load_and_preprocess_native(
-    path: str, roi: Sequence[int], in_channels: int, order: int = 0
+    path: str, roi: Sequence[int], in_channels: int, order: int = 0,
+    wire: str = "windowed",
 ) -> np.ndarray:
     """Native counterpart of transforms.load_and_preprocess.
 
     order 0 = training pipeline (window before resize); order 1 = the
-    notebook feature-extraction pipeline (resize before window).
-    Returns [C, roi, roi, roi] float16. Raises RuntimeError on decode errors
-    (callers shield errors the same way as the python path).
+    notebook feature-extraction pipeline (resize before window). With
+    ``wire='hu16'`` the output is the 1-channel int16 fixed-point HU wire
+    tensor (transforms.load_and_preprocess_hu16 parity) instead of windowed
+    fp16 channels. Raises RuntimeError on decode errors (callers shield
+    errors the same way as the python path).
     """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native loader unavailable")
     r = int(roi[0])
     assert all(int(x) == r for x in roi), "native path assumes cubic ROI"
-    out = np.empty(in_channels * r * r * r, dtype=np.uint16)
+    if wire == "hu16":
+        if not native_supports_hu16():
+            raise RuntimeError("native library predates hu16 (rebuild)")
+        channels, order = 1, 2
+    else:
+        channels = in_channels
+    out = np.empty(channels * r * r * r, dtype=np.uint16)
     err = ctypes.create_string_buffer(256)
     rc = lib.headct_preprocess_ex(
         path.encode(),
         r,
-        in_channels,
+        channels,
         order,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         err,
@@ -140,7 +162,9 @@ def load_and_preprocess_native(
     )
     if rc != 0:
         raise RuntimeError(f"native preprocess failed for {path}: {err.value.decode()}")
-    return out.view(np.float16).reshape(in_channels, r, r, r)
+    if wire == "hu16":
+        return out.view(np.int16).reshape(1, r, r, r)
+    return out.view(np.float16).reshape(channels, r, r, r)
 
 
 def decode_native(path: str):

@@ -410,11 +410,14 @@ def make_train_step(config, mesh: Mesh):
         )
         return new_state, {"loss": loss}
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
     def train_step_scoped(state, batch, rng, momentum, teacher_temp, cancel):
         # Scoped at trace time: shard the Pallas attention over THIS mesh.
         with attention_mesh(mesh):
-            # Storage-dtype batches (fp16 off the disk cache) → bfloat16.
-            batch = batch.astype(jnp.bfloat16)
+            # Wire-format batches (fp16 windowed, or 1-ch int16 HU expanded
+            # to the window stack here — before the multicrop) → bfloat16.
+            batch = wire_to_compute(batch, config, int(config.VIT.IN_CHANS))
             return train_step(state, batch, rng, momentum, teacher_temp, cancel)
 
     return jax.jit(
@@ -470,9 +473,11 @@ def make_eval_step(config, mesh: Mesh):
         )
         return {"loss": loss}
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
     def eval_step_scoped(state, batch, rng, teacher_temp):
         with attention_mesh(mesh):
-            batch = batch.astype(jnp.bfloat16)
+            batch = wire_to_compute(batch, config, int(config.VIT.IN_CHANS))
             return eval_step(state, batch, rng, teacher_temp)
 
     return jax.jit(

@@ -221,12 +221,18 @@ def make_train_step(config, mesh: Mesh, lock: Optional[bool] = None,
     kind = config.TRAIN.CLASSIFIER
     lock = config.TRAIN.LOCK if lock is None else lock
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
+    in_chans = int(config.VIT.IN_CHANS)
+
     def train_step(state: DownstreamTrainState, batch, target, rng):
         step_rng = jax.random.fold_in(rng, state.step)
-        # augment on the fp16 wire dtype, then compute in compute_dtype
-        # (same contract as mae_engine: fp16 over H2D, bf16 on device;
-        # float32 for the torch-twin oracle)
-        batch = vit_augment(step_rng, batch).astype(compute_dtype)
+        # wire -> windowed channels FIRST (hu16 batches window on device;
+        # the reference augments windowed volumes), then the per-step
+        # augmentation, in compute_dtype (bf16 on device; float32 for the
+        # torch-twin oracle)
+        batch = wire_to_compute(batch, config, in_chans, dtype=compute_dtype)
+        batch = vit_augment(step_rng, batch)
 
         drop_rng = jax.random.fold_in(step_rng, 1)
 
@@ -278,8 +284,12 @@ def make_eval_step(config, mesh: Mesh, compute_dtype=jnp.bfloat16):
 
     kind = config.TRAIN.CLASSIFIER
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
+    in_chans = int(config.VIT.IN_CHANS)
+
     def eval_step(state: DownstreamTrainState, batch, target):
-        batch = batch.astype(compute_dtype)  # fp16 wire -> bf16 compute
+        batch = wire_to_compute(batch, config, in_chans, dtype=compute_dtype)
         feats = _features(state, state.params, batch, kind)
         logits = state.classifier_apply(
             {"params": state.params["classifier"],

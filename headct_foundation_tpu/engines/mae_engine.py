@@ -224,7 +224,7 @@ def _make_pipelined_loss(config, mesh: Mesh, dtype=jnp.bfloat16):
 
 
 def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
-                    config=None):
+                    config=None, jit: bool = True):
     """Build the jitted MAE train step.
 
     step(state, batch, rng) -> (state, metrics). ``batch`` is [B, C, R, R, R]
@@ -238,6 +238,11 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
     train at full numerical fidelity (a TPU extension; the reference has no
     accumulation). When ``config`` sets PARALLEL.PIPE > 1 the forward runs
     the pipelined trunks (state must come from a PIPE create_train_state).
+
+    ``jit=False`` returns the raw (unjitted) step function — for callers
+    that compose it into a larger jitted program (bench.py chains K
+    production steps inside one ``lax.scan`` so a single dispatch amortizes
+    the remote-relay round trip; the math is the exact object training runs).
     """
     from headct_foundation_tpu.ops.attention import attention_mesh
 
@@ -268,13 +273,18 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
         )
         return loss
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
+    in_chans = int(config.MAE.IN_CHANS) if config is not None else 0
+
     def train_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         # Scoped at trace time: shard the Pallas attention over THIS mesh,
         # whatever was traced before or since.
         with attention_mesh(mesh):
-            # Batches arrive in storage dtype (fp16 from the disk cache —
-            # half the H2D bytes); compute in bfloat16 from here on.
-            batch = batch.astype(jnp.bfloat16)
+            # Batches arrive in the WIRE format (fp16 windowed channels, or
+            # 1-ch int16 HU that the step window-stacks on device — 3x fewer
+            # H2D bytes); compute in bfloat16 from here on.
+            batch = wire_to_compute(batch, config, in_chans)
             step_rng = jax.random.fold_in(rng, state.step)
 
             if accum_steps == 1:
@@ -316,6 +326,8 @@ def make_train_step(mesh: Mesh, augment: bool = False, accum_steps: int = 1,
             metrics = {"loss": loss}
             return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(
         train_step,
         in_shardings=(None, batch_sharding(mesh), None),
@@ -329,9 +341,13 @@ def make_eval_step(mesh: Mesh, config=None):
     pipe = int(getattr(config.PARALLEL, "PIPE", 1)) if config is not None else 1
     pipelined_loss = _make_pipelined_loss(config, mesh) if pipe > 1 else None
 
+    from headct_foundation_tpu.data.device_preprocess import wire_to_compute
+
+    in_chans = int(config.MAE.IN_CHANS) if config is not None else 0
+
     def eval_step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         with attention_mesh(mesh):
-            batch = batch.astype(jnp.bfloat16)
+            batch = wire_to_compute(batch, config, in_chans)
             if pipelined_loss is not None:
                 return {"loss": pipelined_loss(
                     state.apply_fn, state.params, batch, rng
@@ -356,8 +372,11 @@ from contextlib import nullcontext as _nullcontext
 def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.ndarray:
     from headct_foundation_tpu.parallel.mesh import shard_batch
 
-    arr = np.asarray(batch, dtype=np.float32)
-    dev, _ = shard_batch(arr, mesh, dtype=dtype)
+    arr = np.asarray(batch)
+    if arr.dtype == np.int16:  # hu16 wire batches ship as-is (step windows)
+        dev, _ = shard_batch(arr, mesh)
+    else:
+        dev, _ = shard_batch(arr.astype(np.float32), mesh, dtype=dtype)
     return dev
 
 

@@ -780,6 +780,21 @@ int headct_preprocess_ex(const char* path, int roi, int in_channels,
 
     crop_foreground(vol);
 
+    if (order == 2) {
+        // hu16 wire format: raw-HU 'area' resize, clamp to the union of the
+        // window ranges, fixed-point round(HU * 10) into int16 (must match
+        // python transforms.hu16_encode exactly; np.round is half-to-even,
+        // so rely on lrintf under the default FE_TONEAREST mode).
+        Vol r = area_resize(vol, roi, roi, roi);
+        size_t n = static_cast<size_t>(roi) * roi * roi;
+        int16_t* q = reinterpret_cast<int16_t*>(out);
+        for (size_t i = 0; i < n; ++i) {
+            float v = std::min(std::max(r.v[i], -800.0f), 2000.0f);
+            q[i] = static_cast<int16_t>(std::lrintf(v * 10.0f));
+        }
+        return 0;
+    }
+
     // windows (reference: src/data/transforms.py:120-134)
     struct Win { float lo, hi; };
     std::vector<Win> wins;
@@ -822,6 +837,11 @@ int headct_preprocess(const char* path, int roi, int in_channels,
                       uint16_t* out, char* err, int errlen) {
     return headct_preprocess_ex(path, roi, in_channels, 0, out, err, errlen);
 }
+
+// Capability probe for the python bindings: bumped when new preprocess
+// orders/outputs are added so an older prebuilt .so degrades gracefully.
+// 4 = hu16 wire format (order 2, int16 output).
+int headct_abi_version(void) { return 4; }
 
 // ---------------------------------------------------------------------------
 // Decode-only API: gunzip + NIfTI parse + RAS orient, no resampling.

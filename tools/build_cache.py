@@ -53,12 +53,18 @@ def main() -> None:
                          "pack_*.bin + pack_index*.json): the steady-state "
                          "loader then does zero per-volume file opens")
     ap.add_argument("--volumes-per-shard", type=int, default=512)
+    ap.add_argument("--wire", choices=("windowed", "hu16"), default="windowed",
+                    help="cache tensor format: 'windowed' fp16 [C, roi] "
+                         "(reference parity) or 'hu16' int16 [1, roi] "
+                         "fixed-point HU (3x fewer wire bytes; the engines "
+                         "window on device — set DATA.WIRE_FORMAT: hu16)")
     args = ap.parse_args()
     if args.device:
         os.environ["HEADCT_DEVICE_CACHE"] = "1"
 
     paths = list(pd.read_csv(args.csv)["img_path"])[args.shard :: args.num_shards]
-    cache = DiskCache(args.cache_dir, (args.roi,) * 3, args.in_chans)
+    cache = DiskCache(args.cache_dir, (args.roi,) * 3, args.in_chans,
+                      wire=args.wire)
 
     done = 0
     errors = 0
@@ -76,9 +82,12 @@ def main() -> None:
         # one shard series per manifest shard: rank-parallel builds merge at
         # read time via their pack_index<tag>.json files
         tag = f"r{args.shard}_" if args.num_shards > 1 else ""
+        import numpy as _np
+
         packer = PackedCacheWriter(
-            args.cache_dir, (args.in_chans,) + (args.roi,) * 3,
+            args.cache_dir, cache.wire_shape,
             volumes_per_shard=args.volumes_per_shard, tag=tag,
+            dtype=_np.int16 if args.wire == "hu16" else _np.float16,
         )
         # incremental rebuild: entries carried over from an existing
         # same-tag index are already packed — don't re-copy them
