@@ -68,6 +68,11 @@ def _flagship_config():
         cfg.MAE.PATCH_SIZE = 12
         cfg.MAE.USE_BIAS = True
     cfg.TRAIN.GRAD_CLIP = 0.0  # matches mae_HeadCT.yaml recipe
+    # Production wire format: 1-ch int16 HU over the wire, window stack on
+    # device inside the step (3x fewer H2D bytes than fp16 x 3ch — the
+    # shipped path per the BASELINE north star). Override with
+    # `--set DATA.WIRE_FORMAT windowed` to bench the parity format.
+    cfg.DATA.WIRE_FORMAT = "hu16"
     # A/B experiment overrides: `--set KEY VALUE [KEY VALUE ...]`
     if "--set" in sys.argv:
         pairs = sys.argv[sys.argv.index("--set") + 1 :]
@@ -81,9 +86,20 @@ def _flagship_config():
     return cfg
 
 
+def _wire_batch(cfg, n: int) -> np.ndarray:
+    """A batch in the production WIRE format — what the packed cache ships
+    and DevicePrefetcher puts on device. 'windowed': [B, C, roi] fp16 in
+    [0, 1]. 'hu16': [B, 1, roi] int16 HU (the step windows on device)."""
+    rng = np.random.RandomState(0)
+    roi = tuple(cfg.MODEL.ROI)
+    if str(getattr(cfg.DATA, "WIRE_FORMAT", "windowed")) == "hu16":
+        return rng.randint(-1000, 2800, size=(n, 1) + roi).astype(np.int16)
+    return rng.rand(n, cfg.MAE.IN_CHANS, *roi).astype(np.float16)
+
+
 def compute_only() -> dict:
     from headct_foundation_tpu.engines import mae_engine
-    from headct_foundation_tpu.parallel.mesh import batch_sharding, make_mesh
+    from headct_foundation_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
 
     cfg = _flagship_config()
     n_chips = len(jax.devices())
@@ -93,21 +109,18 @@ def compute_only() -> dict:
     state, _, _ = mae_engine.create_train_state(
         cfg, mesh, rng, total_steps=10_000, num_warmup_steps=100
     )
+    # THE production step object (main_pretrain_mae.py trains with
+    # make_train_step(mesh, augment=True, config=cfg)) — unjitted here so K
+    # steps chain inside one lax.scan (single dispatch + single value fetch
+    # amortize the remote-relay RTT; the carried state forces true
+    # sequential execution). The per-step math, including the on-device
+    # augmentation and the wire-dtype cast, is exactly what training runs.
+    step_fn = mae_engine.make_train_step(mesh, augment=True, config=cfg, jit=False)
 
     def multi_step(state, batch, rng):
         def body(st, _):
-            step_rng = jax.random.fold_in(rng, st.step)
-            mask_rng, drop_rng = jax.random.split(step_rng)
-
-            def loss_fn(params):
-                loss, _, _ = st.apply_fn(
-                    {"params": params}, batch, deterministic=False,
-                    rngs={"mask": mask_rng, "dropout": drop_rng},
-                )
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            return st.apply_gradients(grads=grads), loss
+            st, metrics = step_fn(st, batch, rng)
+            return st, metrics["loss"]
 
         return jax.lax.scan(body, state, None, length=SCAN_STEPS)
 
@@ -116,10 +129,9 @@ def compute_only() -> dict:
         donate_argnums=(0,),
     )
 
-    batch_np = np.random.RandomState(0).randn(
-        BATCH_PER_CHIP * n_chips, cfg.MAE.IN_CHANS, 96, 96, 96
-    ).astype(np.float32)
-    batch = mae_engine._to_device_batch(batch_np, mesh)
+    # batch in the production wire dtype (what the packed cache ships)
+    batch_np = _wire_batch(cfg, BATCH_PER_CHIP * n_chips)
+    batch, _ = shard_batch(batch_np, mesh)
 
     # compile + warmup run
     state, losses = multi_step(state, batch, rng)
@@ -161,22 +173,28 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
     from headct_foundation_tpu.parallel.mesh import make_mesh
 
     cfg = _flagship_config()
+    wire = str(cfg.DATA.WIRE_FORMAT)
     n_chips = len(jax.devices())
     batch = BATCH_PER_CHIP * n_chips
     n_files = steps_per_epoch * batch  # distinct volumes per epoch
     tmpd = tempfile.mkdtemp(prefix="headct_bench_cache_")
     try:
         roi = (96, 96, 96)
-        cache = DiskCache(tmpd, roi, cfg.MAE.IN_CHANS)
+        cache = DiskCache(tmpd, roi, cfg.MAE.IN_CHANS, wire=wire)
         rng_np = np.random.RandomState(0)
         paths = [f"/synthetic/vol{i:05d}.nii.gz" for i in range(n_files)]
-        # pre-populate the PACKED cache: steady state = 100% packed hits
-        with PackedCacheWriter(tmpd, (cfg.MAE.IN_CHANS, *roi)) as w:
+        # pre-populate the PACKED cache in the wire format: steady state =
+        # 100% packed hits
+        wire_dtype = np.int16 if wire == "hu16" else np.float16
+        with PackedCacheWriter(tmpd, cache.wire_shape, dtype=wire_dtype) as w:
             for p in paths:
-                w.add(
-                    cache._key(p),
-                    rng_np.rand(cfg.MAE.IN_CHANS, *roi).astype(np.float16),
-                )
+                if wire == "hu16":
+                    vol = rng_np.randint(
+                        -8000, 20000, size=cache.wire_shape
+                    ).astype(np.int16)
+                else:
+                    vol = rng_np.rand(*cache.wire_shape).astype(np.float16)
+                w.add(cache._key(p), vol)
         csv_path = os.path.join(tmpd, "manifest.csv")
         pd.DataFrame({"img_path": paths}).to_csv(csv_path, index=False)
 
@@ -194,8 +212,12 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
         # no device) vs worker count: separates the input pipeline itself
         # from the H2D transport in the report
         host_rates = {}
+        effective_workers = {}
         for workers in (4, 8, 16):
             loader = _loader(workers)
+            # ThreadedLoader self-caps at 4 threads/core (measured: beyond
+            # that only GIL thrash + variance) — report what actually ran
+            effective_workers[workers] = loader.num_workers
             loader.set_epoch(0)
             for _ in loader:  # warm the page cache / pool
                 pass
@@ -261,9 +283,7 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
         # hard ceiling on loader-in-the-loop throughput; on a real TPU host
         # DMA makes the same transfer ~200x faster and fully hidden by the
         # prefetcher. Reporting it makes the headline number interpretable.
-        probe = np.random.RandomState(1).rand(
-            batch, cfg.MAE.IN_CHANS, *roi
-        ).astype(np.float16)
+        probe = _wire_batch(cfg, batch)  # wire-format bytes
         h2d_best = float("inf")
         for _ in range(3):
             tp = time.perf_counter()
@@ -280,7 +300,12 @@ def with_loader(epochs: int = 4, warm_epochs: int = 1,
             ),
             "input_wait_frac": round(input_wait_s / dt, 3),
             "host_loader_vols_per_s_by_workers": host_rates,
+            "host_loader_effective_workers": effective_workers,
             "packed_cache": True,
+            "wire_format": wire,
+            "wire_MB_per_vol": round(
+                float(np.prod(cache.wire_shape)) * wire_dtype().nbytes / 1e6, 2
+            ),
             "h2d_MB_per_s": round(h2d_mbps, 1),
             "h2d_bound_vols_per_s": round(batch / h2d_best / n_chips, 2),
         }
@@ -315,7 +340,7 @@ def _synth_scans(tmp, n):
     return paths
 
 
-def feature_latency() -> None:
+def feature_latency() -> dict:
     """p50 per-scan feature-extract latency (BASELINE.json's second metric):
     synthetic NIfTI -> notebook-order preprocessing -> ViT-B CLS embedding."""
     import tempfile
@@ -332,16 +357,12 @@ def feature_latency() -> None:
         float(np.asarray(emb).sum())  # force value
         lat.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lat, 50))
-    print(
-        json.dumps(
-            {
-                "metric": "p50 per-scan feature-extract latency",
-                "value": round(p50 * 1e3, 1),
-                "unit": "ms",
-                "vs_baseline": None,
-            }
-        )
-    )
+    return {
+        "metric": "p50 per-scan feature-extract latency",
+        "value": round(p50 * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+    }
 
 
 def feature_throughput() -> None:
@@ -437,7 +458,7 @@ def _bounded_first_contact(deadline_s: float = 900.0) -> None:
 if __name__ == "__main__":
     _bounded_first_contact()
     if "--feature-latency" in sys.argv:
-        feature_latency()
+        print(json.dumps(feature_latency()))
     elif "--feature-throughput" in sys.argv:
         feature_throughput()
     elif "--with-loader" in sys.argv:
@@ -448,6 +469,14 @@ if __name__ == "__main__":
     elif "--compute-only" in sys.argv:
         print(json.dumps(compute_only()))
     else:
+        # the full per-round record: production-step compute rate, sustained
+        # loader-in-the-loop rate, and the second headline metric
+        # (feature-extract p50) in one machine-readable line
         result = compute_only()
         result["loader_in_loop"] = with_loader()
+        try:
+            result["feature_p50_ms"] = feature_latency()["value"]
+        except Exception as e:  # feature path must never sink the bench line
+            result["feature_p50_ms"] = None
+            result["feature_p50_error"] = str(e)[:200]
         print(json.dumps(result))
