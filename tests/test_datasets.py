@@ -442,3 +442,35 @@ def test_threaded_loader_from_packed_cache(tmp_path):
     got = np.concatenate([b[0] for b in batches])
     want = np.stack([cache.load(p) for p in paths])
     np.testing.assert_array_equal(got, want)
+
+
+def test_threaded_loader_worker_self_cap(monkeypatch):
+    """Worker pools self-cap at 4 threads/core (oversubscription on small
+    hosts only adds GIL thrash — measured); the env override lifts it."""
+    import os as _os
+
+    from headct_foundation_tpu.data.datasets import ThreadedLoader
+
+    class _DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return np.zeros((1, 2, 2, 2), np.float16), str(i)
+
+    cores = _os.cpu_count() or 1
+    ld = ThreadedLoader(_DS(), batch_size=2,
+                        indices_fn=lambda e: np.arange(4), num_workers=1000)
+    assert ld.num_workers == 4 * cores
+    ld.close()
+
+    monkeypatch.setenv("HEADCT_LOADER_MAX_WORKERS", "7")
+    ld = ThreadedLoader(_DS(), batch_size=2,
+                        indices_fn=lambda e: np.arange(4), num_workers=1000)
+    assert ld.num_workers == 7
+    ld.close()
+
+    ld = ThreadedLoader(_DS(), batch_size=2,
+                        indices_fn=lambda e: np.arange(4), num_workers=2)
+    assert ld.num_workers == 2  # requests below the cap are untouched
+    ld.close()
