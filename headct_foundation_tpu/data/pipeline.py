@@ -82,8 +82,11 @@ class DevicePrefetcher:
 
     # Transfers larger than this are split into concurrent chunks: multiple
     # in-flight copies pipeline the transport (PCIe DMA channels locally;
-    # measured ~2-20x aggregate on a remote-attached chip's tunnel).
-    CHUNK_BYTES = 48 << 20
+    # measured ~2-20x aggregate on a remote-attached chip's tunnel). 12 MB
+    # re-measured best across chunk sweeps on this relay (1370 MB/s vs 1102
+    # at 48 MB on a 57 MB hu16 batch) and matches the latency-path choice in
+    # device_preprocess._chunked_put.
+    CHUNK_BYTES = 12 << 20
 
     def _place(self, batch: Any) -> Any:
         if isinstance(batch, tuple):

@@ -114,6 +114,63 @@ def make_object_pool(n: int, in_chans: int, roi: int, seed: int = 0):
     return pool
 
 
+def make_class_pool(n: int, in_chans: int, roi: int, k_classes: int = 8,
+                    seed: int = 0) -> np.ndarray:
+    """DINO positive-control corpus: K latent classes with CROP-INVARIANT
+    texture signatures, so self-distillation has real signal to descend on.
+
+    Each class k owns a pair of low-frequency 3D sinusoidal gratings with
+    class-specific orientations and frequencies; every sample of the class
+    renders them at a random phase over a mild smooth background, so (a) any
+    sub-crop of any sample reveals the class (frequency content survives the
+    multicrop's crop + 'area' resize, unlike the blob pools' smooth fields,
+    which all look alike once cropped), while (b) random phases/backgrounds
+    keep samples distinct. The reference's own dynamics evidence is a wandb
+    descent 11.29 -> 6.50 over 4479 steps on real scans (BASELINE.md); this
+    corpus reproduces a descent below the ln(K_prototypes) uniform fixed
+    point in a few hundred steps."""
+    rng = np.random.RandomState(seed)
+    ax = np.arange(roi, dtype=np.float32) / roi  # [0, 1) coordinates
+    xx = ax[:, None, None]
+    yy = ax[None, :, None]
+    zz = ax[None, None, :]
+    # class-specific (frequency, orientation) pairs: distinct integer cycle
+    # counts in 2..6 cycles/volume survive both the 'area' local-crop resize
+    # (64^3 -> 96^3 in the flagship recipe => x1.5 frequency scaling between
+    # views, which DINO must — and does — learn invariance to) and the
+    # windowed fp16 wire format
+    gratings = []
+    for k in range(k_classes):
+        r1 = np.random.RandomState(seed + 100 + k)
+        dirs = r1.randn(2, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        freqs = 2.0 + r1.permutation(8)[:2].astype(np.float32) / 2.0  # 2..5.5
+        gratings.append((dirs, freqs))
+    pool = np.empty((n, in_chans, roi, roi, roi), np.float16)
+    for i in range(n):
+        k = i % k_classes
+        dirs, freqs = gratings[k]
+        vol = np.full((roi, roi, roi), 0.5, np.float32)
+        for g in range(2):
+            phase = rng.rand() * 2 * np.pi
+            arg = 2 * np.pi * freqs[g] * (
+                dirs[g, 0] * xx + dirs[g, 1] * yy + dirs[g, 2] * zz
+            )
+            vol = vol + 0.18 * np.sin(arg + phase)
+        # per-sample smooth background jitter (instance variety)
+        from scipy.ndimage import zoom
+
+        coarse = rng.rand(4, 4, 4).astype(np.float32) - 0.5
+        vol = vol + 0.12 * zoom(coarse, roi / 4.0, order=1)[:roi, :roi, :roi]
+        vol = np.clip(vol, 0.0, 1.0)
+        chans = [vol]
+        while len(chans) < in_chans:
+            c = len(chans)
+            chans.append(np.clip(vol * (1.0 + 0.4 * c) - 0.15 * c, 0.0, 1.0))
+        pool[i] = np.stack(chans[:in_chans]).astype(np.float16)
+    return pool
+
+
 def make_labeled_pool(n: int, in_chans: int, roi: int, seed: int = 0):
     """Binary-classification pool: class-0 volumes are the plain blob pool;
     class-1 volumes additionally carry a bright ellipsoid 'lesion' at a
@@ -332,10 +389,15 @@ def main() -> None:
     ap.add_argument("--device-pool", action="store_true",
                     help="hold the volume pool device-resident (no H2D in "
                     "the step loop; for dynamics runs over the WAN tunnel)")
-    ap.add_argument("--pool-style", choices=["blobs", "objects"],
+    ap.add_argument("--pool-style", choices=["blobs", "objects", "classes"],
                     default="blobs",
                     help="'objects' adds per-volume ellipsoid constellations "
-                    "— crop pairs then share identity signal DINO can learn")
+                    "— crop pairs then share identity signal DINO can learn; "
+                    "'classes' gives K latent classes crop-invariant texture "
+                    "signatures (the DINO positive control: loss descends "
+                    "below the ln(K_prototypes) uniform fixed point)")
+    ap.add_argument("--classes", type=int, default=8,
+                    help="latent classes for --pool-style classes")
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--no-assert", action="store_true")
     args = ap.parse_args()
@@ -359,8 +421,13 @@ def main() -> None:
     mesh = make_mesh(data=len(jax.devices()))
     rng = jax.random.PRNGKey(cfg.SEED)
 
-    pool_fn = (make_object_pool if args.pool_style == "objects"
-               else make_blob_pool)
+    import functools
+
+    pool_fn = {
+        "blobs": make_blob_pool,
+        "objects": make_object_pool,
+        "classes": functools.partial(make_class_pool, k_classes=args.classes),
+    }[args.pool_style]
     t0 = time.time()
     if args.engine == "mae":
         pool = pool_fn(args.pool, in_chans, roi)
