@@ -52,7 +52,11 @@ REFERENCE_VOLS_PER_SEC_PER_CHIP = 3.1  # BASELINE.md, 4xA100 DINO run
 # Per-chip batch size. 32 volumes of 96^3 x 3ch bf16 activations fit
 # comfortably in v5e 16 GB HBM alongside the 151M-param model + AdamW state.
 BATCH_PER_CHIP = 32
-SCAN_STEPS = 10
+# 30 steps per timed dispatch: the timed window holds ONE dispatch RTT and
+# ONE value-fetch RTT over the (possibly WAN-tunneled) relay — at 10 steps a
+# 100-300 ms relay round trip inflated the step time by up to 23% and swung
+# readings with relay weather; 30 amortizes it to <8%.
+SCAN_STEPS = 30
 MEASURE_RUNS = 3
 
 

@@ -358,15 +358,33 @@ def restore_state(
 
 
 def _restore_tree(target: Any, payload_sd: Any) -> Any:
-    """from_state_dict a payload subtree onto a (possibly sharded) target."""
+    """from_state_dict a payload subtree onto a (possibly sharded) target.
+
+    The template handed to from_state_dict is a host-side ZEROS tree of the
+    target's shapes — never ``device_get(target)``: on a multi-controller
+    run the live state's leaves span processes (not addressable locally),
+    so fetching them would raise — and even single-host it is a pointless
+    D2H of the entire state. from_state_dict only consumes the template's
+    STRUCTURE (it raises on key mismatches rather than filling defaults)."""
+
+    def _zeros_like(t):
+        if hasattr(t, "shape") and hasattr(t, "dtype"):
+            return np.zeros(t.shape, t.dtype)
+        return t
+
     restored = serialization.from_state_dict(
-        jax.tree.map(np.asarray, jax.device_get(target)), payload_sd
+        jax.tree.map(_zeros_like, target), payload_sd
     )
-    return jax.tree.map(
-        lambda t, n: jax.device_put(np.asarray(n, dtype=t.dtype), t.sharding),
-        target,
-        restored,
-    )
+
+    def _place(t, n):
+        if hasattr(t, "sharding"):
+            # full host value -> the template's (possibly cross-process)
+            # sharding; every process holds the same loaded checkpoint, so
+            # device_put shards out just the locally addressable pieces
+            return jax.device_put(np.asarray(n, dtype=t.dtype), t.sharding)
+        return type(t)(n) if isinstance(t, (int, float)) else n
+
+    return jax.tree.map(_place, target, restored)
 
 
 def restore_dino_state(
