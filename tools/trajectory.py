@@ -303,17 +303,26 @@ def run_mae(cfg, mesh, epochs, steps, batch, accum, rng, pool):
 
 
 def run_dino(cfg, mesh, epochs, steps, batch, rng, pool, accum=1,
-             device_pool=False):
+             device_pool=False, sched_epochs=None, on_epoch=None):
+    """sched_epochs: build every schedule (LR warmup+cosine, WD ramp,
+    teacher momentum, teacher temp) over a LONGER horizon and execute only
+    the first `epochs` epochs of it — i.e. "run the first N steps of the
+    recipe". Without it, a short run compresses the full cosine WD ramp
+    (0.04 -> 0.4, reference utils.cosine_scheduler usage in main_dino) into
+    a few hundred steps, which crushes the head logits toward zero and pins
+    the loss at exactly ln(K) — the uniform fixed point. The reference's own
+    descent evidence (11.29 -> 6.50, BASELINE.md) happened at schedule
+    positions where WD was still ~0.04 and LR near peak."""
     from headct_foundation_tpu.engines import dino_engine
 
     if accum > 1:
         cfg.defrost()
         cfg.TRAIN.ACCUM_STEPS = accum  # engine scans micro-batches of B/accum
         cfg.freeze()
-    total = epochs * steps
+    horizon = (sched_epochs or epochs) * steps
     state, _, lr_schedule, wd_sched, momentum_sched, temp_sched = (
         dino_engine.create_train_state(
-            cfg, mesh, rng, total, int(cfg.TRAIN.PER_WARMUP * total),
+            cfg, mesh, rng, horizon, int(cfg.TRAIN.PER_WARMUP * horizon),
             niter_per_ep=steps,
         )
     )
@@ -325,8 +334,11 @@ def run_dino(cfg, mesh, epochs, steps, batch, rng, pool, accum=1,
         loader.set_epoch(epoch)
         state, _ = dino_engine.train_one_epoch(
             cfg, state, train_step, loader, mesh, rng, lr_schedule, wd_sched,
-            momentum_sched, temp_sched, epoch, epochs, wandb_run=rec,
+            momentum_sched, temp_sched, epoch, sched_epochs or epochs,
+            wandb_run=rec,
         )
+        if on_epoch is not None:
+            on_epoch(epoch, rec)
     return rec
 
 
@@ -376,6 +388,48 @@ def save_png(losses, path, title):
     plt.close(fig)
 
 
+def _write_artifacts(args, rec, cfg, wall, repo_root, partial=False):
+    import jax
+
+    losses = rec.losses
+    n = len(losses)
+    k = max(1, int(0.15 * n))
+    head, tail = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    summary = {
+        "engine": args.engine,
+        "steps": n,
+        "batch": args.batch,
+        "accum": args.accum,
+        "epochs": args.epochs,
+        "sched_epochs": getattr(args, "sched_epochs", None),
+        "pool_style": getattr(args, "pool_style", None),
+        "partial": partial,
+        "start_loss": losses[0] if losses else None,
+        "head_mean": head,
+        "tail_mean": tail,
+        "descended": tail < head,
+        "wall_s": round(wall, 1),
+        "backend": jax.default_backend(),
+        "losses": [round(l, 5) for l in losses],
+        "lrs": [float(l) for l in rec.lrs[:: max(1, n // 50)]],
+    }
+    if getattr(rec, "epoch_aurocs", None) is not None:
+        summary["epoch_aurocs"] = [round(a, 4) for a in rec.epoch_aurocs]
+    prefix = args.out_prefix or os.path.join(
+        repo_root, f"trajectory_{args.engine}"
+    )
+    tmp = prefix + ".json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, prefix + ".json")  # atomic: a timeout can't truncate it
+    save_png(
+        losses, prefix + ".png",
+        f"{args.engine.upper()} training loss — {n} steps, batch {args.batch} "
+        f"({jax.default_backend()})",
+    )
+    return summary, losses, head, tail
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", choices=["mae", "dino", "downstream"],
@@ -398,8 +452,17 @@ def main() -> None:
                     "below the ln(K_prototypes) uniform fixed point)")
     ap.add_argument("--classes", type=int, default=8,
                     help="latent classes for --pool-style classes")
+    ap.add_argument("--sched-epochs", type=int, default=None,
+                    help="DINO: build all schedules (LR/WD/momentum/temp) "
+                    "over this many epochs but run only --epochs of them — "
+                    "'the first N steps of the recipe'. Avoids compressing "
+                    "the WD 0.04->0.4 cosine ramp into a short run, which "
+                    "pins the loss at the uniform ln(K) fixed point.")
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--no-assert", action="store_true")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides, KEY VALUE pairs (the mains' "
+                    "--opts contract), e.g. DINO.TEACHER_TEMP 0.01")
     args = ap.parse_args()
 
     import jax
@@ -408,6 +471,8 @@ def main() -> None:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = _flagship(args.engine, repo_root)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     # the pretrain mains' effective-LR rule (main_pretrain_{mae,dino}.py):
     # scale the recipe LR by eff_batch/256 — at trajectory batch sizes this
     # matters (running the batch-256 LR at batch 8 is 32x the recipe's step
@@ -435,46 +500,26 @@ def main() -> None:
                       args.batch, args.accum, rng, pool)
     elif args.engine == "dino":
         pool = pool_fn(args.pool, in_chans, roi)
+
+        def _flush(epoch, rec):
+            # partial-progress flush: long TPU runs survive a timeout with
+            # a usable (truncated) artifact
+            _write_artifacts(args, rec, cfg, time.time() - t0,
+                             repo_root, partial=True)
+
         rec = run_dino(cfg, mesh, args.epochs, args.steps_per_epoch,
                        args.batch, rng, pool, accum=args.accum,
-                       device_pool=args.device_pool)
+                       device_pool=args.device_pool,
+                       sched_epochs=args.sched_epochs, on_epoch=_flush)
     else:
         pool, labels = make_labeled_pool(args.pool, in_chans, roi)
         rec = run_downstream(cfg, mesh, args.epochs, args.steps_per_epoch,
                              args.batch, rng, pool, labels)
     wall = time.time() - t0
-
-    losses = rec.losses
+    summary, losses, head, tail = _write_artifacts(
+        args, rec, cfg, wall, repo_root
+    )
     n = len(losses)
-    k = max(1, int(0.15 * n))
-    head, tail = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
-    summary = {
-        "engine": args.engine,
-        "steps": n,
-        "batch": args.batch,
-        "accum": args.accum,
-        "epochs": args.epochs,
-        "start_loss": losses[0] if losses else None,
-        "head_mean": head,
-        "tail_mean": tail,
-        "descended": tail < head,
-        "wall_s": round(wall, 1),
-        "backend": jax.default_backend(),
-        "losses": [round(l, 5) for l in losses],
-        "lrs": [float(l) for l in rec.lrs[:: max(1, n // 50)]],
-    }
-    if getattr(rec, "epoch_aurocs", None) is not None:
-        summary["epoch_aurocs"] = [round(a, 4) for a in rec.epoch_aurocs]
-    prefix = args.out_prefix or os.path.join(
-        repo_root, f"trajectory_{args.engine}"
-    )
-    with open(prefix + ".json", "w") as f:
-        json.dump(summary, f)
-    save_png(
-        losses, prefix + ".png",
-        f"{args.engine.upper()} training loss — {n} steps, batch {args.batch} "
-        f"({jax.default_backend()})",
-    )
     print(json.dumps({k: v for k, v in summary.items() if k != "losses"}))
 
     if not args.no_assert:
