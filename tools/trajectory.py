@@ -408,6 +408,7 @@ def _write_artifacts(args, rec, cfg, wall, repo_root, partial=False):
         "head_mean": head,
         "tail_mean": tail,
         "descended": tail < head,
+        "min_loss": float(np.min(losses)) if losses else None,
         "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
         "losses": [round(l, 5) for l in losses],
@@ -415,6 +416,12 @@ def _write_artifacts(args, rec, cfg, wall, repo_root, partial=False):
     }
     if getattr(rec, "epoch_aurocs", None) is not None:
         summary["epoch_aurocs"] = [round(a, 4) for a in rec.epoch_aurocs]
+    if args.engine == "dino" and losses:
+        ln_k = float(np.log(cfg.DINO.HEAD_N_PROTOTYPES))
+        summary["ln_k"] = ln_k
+        summary["frac_steps_below_lnk_minus_1"] = float(
+            np.mean(np.asarray(losses) < ln_k - 1.0)
+        )
     prefix = args.out_prefix or os.path.join(
         repo_root, f"trajectory_{args.engine}"
     )
