@@ -372,6 +372,10 @@ class _NativeCheckpointUnpickler:
         ("numpy._core.multiarray", "_reconstruct"),
         ("numpy.core.multiarray", "scalar"),
         ("numpy._core.multiarray", "scalar"),
+        # pickle protocol >= 5 reduces C-contiguous arrays through
+        # _frombuffer instead of _reconstruct
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy._core.numeric", "_frombuffer"),
     }
 
     @classmethod
