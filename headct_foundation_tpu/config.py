@@ -206,7 +206,10 @@ def _default_config() -> CfgNode:
     # volumes (exact reference training-cache parity); 'hu16' = int16
     # [1, roi] fixed-point HU, expanded to the window stack ON DEVICE inside
     # the jitted steps — 3x fewer H2D bytes, the shipped production path
-    # (see data/transforms.py hu16 notes + MIGRATION.md).
+    # (see data/transforms.py hu16 notes + MIGRATION.md); 'hu8' = uint8
+    # [1, roi] companded HU, 6x fewer bytes — OPT-IN lossy (soft-tissue
+    # windows keep 1-HU steps, bone window coarsens to ~63 HU; bounds in
+    # data/transforms.py hu8 notes) for transport-starved mounts.
     _C.DATA.WIRE_FORMAT = "windowed"
 
     # General model settings (reference: config.py:32-38)

@@ -272,7 +272,7 @@ class DiskCache:
 
     def __init__(self, cache_dir: Optional[str], roi: Sequence[int], in_channels: int,
                  wire: str = "windowed"):
-        assert wire in ("windowed", "hu16"), wire
+        assert wire in ("windowed", "hu16", "hu8"), wire
         self.roi = tuple(roi)
         self.in_channels = in_channels
         self.wire = wire
@@ -288,17 +288,22 @@ class DiskCache:
     @property
     def wire_shape(self) -> Tuple[int, ...]:
         """Shape of one cached/wire tensor (channel-first)."""
-        if self.wire == "hu16":
+        if self.wire in ("hu16", "hu8"):
             return (1, *self.roi)
         return (self.in_channels, *self.roi)
 
     def placeholder(self) -> np.ndarray:
         """Error-shielding placeholder in the wire format: windows to
         all-zero channels either way (reference: datasets.py:70-96)."""
-        from headct_foundation_tpu.data.transforms import HU16_PLACEHOLDER
+        from headct_foundation_tpu.data.transforms import (
+            HU8_PLACEHOLDER,
+            HU16_PLACEHOLDER,
+        )
 
         if self.wire == "hu16":
             return np.full(self.wire_shape, HU16_PLACEHOLDER, dtype=np.int16)
+        if self.wire == "hu8":
+            return np.full(self.wire_shape, HU8_PLACEHOLDER, dtype=np.uint8)
         return np.zeros(self.wire_shape, dtype=np.float16)
 
     def _backend(self) -> str:
@@ -317,7 +322,7 @@ class DiskCache:
             )
 
             if native_available() and (
-                self.wire != "hu16" or native_supports_hu16()
+                self.wire not in ("hu16", "hu8") or native_supports_hu16()
             ):
                 return "native"
         return "python"
@@ -347,28 +352,47 @@ class DiskCache:
 
                 self._device_prep = DevicePreprocessor(
                     self.roi, self.in_channels,
-                    order="hu16" if self.wire == "hu16" else "training",
+                    order="hu16" if self.wire in ("hu16", "hu8") else "training",
                 )
             out = np.asarray(self._device_prep(path))
             if self.wire == "hu16":
                 from headct_foundation_tpu.data.transforms import hu16_encode
 
                 return hu16_encode(out)
+            if self.wire == "hu8":
+                from headct_foundation_tpu.data.transforms import hu8_encode
+
+                return hu8_encode(out)
             return out.astype(np.float16)
         if backend == "native":
             from headct_foundation_tpu.data.native_loader import (
                 load_and_preprocess_native,
             )
 
+            if self.wire == "hu8":
+                # the native pipeline emits the hu16 raw-HU tensor; transcode
+                # (the 0.05-HU intermediate is 10x below hu8's finest step)
+                from headct_foundation_tpu.data.transforms import (
+                    hu8_encode,
+                    hu16_decode,
+                )
+
+                t = load_and_preprocess_native(
+                    path, self.roi, self.in_channels, wire="hu16"
+                )
+                return hu8_encode(hu16_decode(t))
             return load_and_preprocess_native(
                 path, self.roi, self.in_channels, wire=self.wire
             )
-        if self.wire == "hu16":
+        if self.wire in ("hu16", "hu8"):
             from headct_foundation_tpu.data.transforms import (
+                hu8_encode,
+                hu16_decode,
                 load_and_preprocess_hu16,
             )
 
-            return load_and_preprocess_hu16(path, self.roi)
+            t = load_and_preprocess_hu16(path, self.roi)
+            return hu8_encode(hu16_decode(t)) if self.wire == "hu8" else t
         return load_and_preprocess(path, self.roi, self.in_channels)
 
     def load(self, path: str) -> np.ndarray:

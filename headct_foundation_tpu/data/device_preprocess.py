@@ -185,6 +185,23 @@ def device_hu16_window(batch: jax.Array, in_channels: int) -> jax.Array:
     return jnp.clip((hu - lo) / (hi - lo), 0.0, 1.0)
 
 
+def device_hu8_window(batch: jax.Array, in_channels: int) -> jax.Array:
+    """hu8 wire batches -> windowed channel stacks, on device.
+
+    [B, 1, H, W, D] uint8 companded HU codes (transforms.hu8_encode) ->
+    [B, C, H, W, D] float32 in [0, 1]. One 256-entry gather (VMEM-resident
+    table) + the same pointwise window math as device_hu16_window; XLA fuses
+    both into the consumer. Matches transforms.hu8_window_stack exactly."""
+    from headct_foundation_tpu.data.transforms import HU8_TABLE
+
+    assert batch.ndim == 5 and batch.shape[1] == 1, batch.shape
+    lows, highs = _window_params(in_channels)
+    lo = jnp.asarray(lows)[None, :, None, None, None]
+    hi = jnp.asarray(highs)[None, :, None, None, None]
+    hu = jnp.take(jnp.asarray(HU8_TABLE), batch.astype(jnp.int32))
+    return jnp.clip((hu - lo) / (hi - lo), 0.0, 1.0)
+
+
 def wire_to_compute(batch: jax.Array, config, in_channels: int,
                     dtype=jnp.bfloat16) -> jax.Array:
     """Jit-traceable entry cast shared by the engines' train/eval steps:
@@ -197,6 +214,8 @@ def wire_to_compute(batch: jax.Array, config, in_channels: int,
             if config is not None else "windowed")
     if wire == "hu16":
         return device_hu16_window(batch, in_channels).astype(dtype)
+    if wire == "hu8":
+        return device_hu8_window(batch, in_channels).astype(dtype)
     return batch.astype(dtype)
 
 

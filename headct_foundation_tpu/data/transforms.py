@@ -70,6 +70,53 @@ HU16_CLAMP = (-800.0, 2000.0)
 HU16_PLACEHOLDER = np.int16(HU16_CLAMP[0] * HU16_SCALE)
 
 
+# hu8 wire format (OPT-IN, documented-lossy): 1 byte/voxel companded HU
+# ---------------------------------------------------------------------------
+# Halves the hu16 wire again (0.89 MB per 96^3 volume) for transport-bound
+# mounts, trading bone-window precision. 256 monotone HU levels, piecewise
+# linear so the soft-tissue windows keep ~1-HU resolution:
+#   [-800, -20):  26 codes, 30-HU steps   (every window clips most of this)
+#   [-20,  180]: 201 codes,  1-HU steps   (covers brain (40,80) and subdural
+#                                          (80,200) windows ENTIRELY)
+#   (180, 2000]:  29 codes, ~62.8-HU steps (bone window tail)
+# Max windowed-value error vs float HU: 0.5/80 = 6.3e-3 (brain), 0.5/200 =
+# 2.5e-3 (subdural), 31.4/2800 = 1.2e-2 (bone) — bounds asserted in
+# tests/test_wire_format.py. Compare hu16 (6.3e-4 / 2.5e-4 / 1.8e-5): hu8 is
+# NOT numerically interchangeable with the fp16 cache; it is an explicit
+# bandwidth/precision trade still ~10x below the training augmentation's
+# U(-0.1, 0.1) intensity shifts. Default stays 'windowed'; production wire
+# stays 'hu16'.
+HU8_TABLE = np.concatenate(
+    [
+        np.linspace(-800.0, -20.0, 27)[:-1],
+        np.arange(-20.0, 181.0, 1.0),
+        np.linspace(180.0, 2000.0, 30)[1:],
+    ]
+).astype(np.float32)
+assert HU8_TABLE.shape == (256,)
+_HU8_MIDPOINTS = (HU8_TABLE[1:] + HU8_TABLE[:-1]) / 2.0
+# code 0 decodes to -800 HU -> 0.0 in every window (placeholder contract)
+HU8_PLACEHOLDER = np.uint8(0)
+
+
+def hu8_encode(hu: np.ndarray) -> np.ndarray:
+    """float HU -> uint8 companded wire codes (nearest table level)."""
+    q = np.clip(np.asarray(hu, np.float32), HU8_TABLE[0], HU8_TABLE[-1])
+    return np.searchsorted(_HU8_MIDPOINTS, q).astype(np.uint8)
+
+
+def hu8_decode(q: np.ndarray) -> np.ndarray:
+    """uint8 wire codes -> float32 HU (table lookup)."""
+    return HU8_TABLE[np.asarray(q)]
+
+
+def hu8_window_stack(q: np.ndarray, in_channels: int) -> np.ndarray:
+    """Host reference for device_preprocess.device_hu8_window: [1, H, W, D]
+    uint8 wire -> [C, H, W, D] float32 in [0, 1]."""
+    assert q.ndim == 4 and q.shape[0] == 1, q.shape
+    return window_stack(hu8_decode(q[0]), in_channels)
+
+
 def hu16_encode(hu: np.ndarray) -> np.ndarray:
     """float HU -> int16 wire values (clamp + fixed-point round)."""
     q = np.clip(np.asarray(hu, np.float32), *HU16_CLAMP)

@@ -373,8 +373,8 @@ def _to_device_batch(batch: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16) -> jnp.n
     from headct_foundation_tpu.parallel.mesh import shard_batch
 
     arr = np.asarray(batch)
-    if arr.dtype == np.int16:  # hu16 wire batches ship as-is (step windows)
-        dev, _ = shard_batch(arr, mesh)
+    if arr.dtype in (np.int16, np.uint8):  # hu16/hu8 wire batches ship
+        dev, _ = shard_batch(arr, mesh)    # as-is (the step windows)
     else:
         dev, _ = shard_batch(arr.astype(np.float32), mesh, dtype=dtype)
     return dev

@@ -265,3 +265,166 @@ def test_mae_train_step_hu16_equals_windowed():
     # same rng stream -> same mask/augs; differ only by fp16-vs-exact input
     # quantization through a bf16 forward
     assert abs(l_hu - l_w) <= 2e-2 * max(1.0, abs(l_w)), (l_hu, l_w)
+
+
+# ---------------------------------------------------------------------------
+# hu8 wire format (opt-in lossy companded byte wire — transforms.py hu8 notes)
+# ---------------------------------------------------------------------------
+
+def test_hu8_table_and_roundtrip():
+    from headct_foundation_tpu.data.transforms import (
+        HU8_TABLE,
+        hu8_decode,
+        hu8_encode,
+    )
+
+    assert HU8_TABLE.shape == (256,)
+    assert (np.diff(HU8_TABLE) > 0).all()  # strictly monotone levels
+    assert HU8_TABLE[0] == -800.0 and HU8_TABLE[-1] == 2000.0
+    # every code is a fixed point of decode->encode
+    codes = np.arange(256, dtype=np.uint8)
+    q = hu8_encode(hu8_decode(codes))
+    assert q.dtype == np.uint8
+    np.testing.assert_array_equal(q, codes)
+    # out-of-range HU clamps to the table ends
+    assert hu8_encode(np.float32(-5000)) == 0
+    assert hu8_encode(np.float32(9000)) == 255
+
+
+def test_hu8_error_bounds_per_segment_and_window():
+    """The documented precision contract: 0.5-HU in [-20, 180] (both
+    soft-tissue windows live entirely inside it), 15 HU below, 31.4 HU
+    above; windowed-value error <= half-step/width per channel."""
+    from headct_foundation_tpu.data.transforms import hu8_decode, hu8_encode
+
+    rng = np.random.RandomState(3)
+    hu = (rng.rand(50000) * 3600 - 1000).astype(np.float32)  # [-1000, 2600]
+    back = hu8_decode(hu8_encode(hu))
+    clamped = np.clip(hu, -800.0, 2000.0)
+    err = np.abs(back - clamped)
+    soft = (clamped >= -20) & (clamped <= 180)
+    low = clamped < -20
+    high = clamped > 180
+    assert err[soft].max() <= 0.5 + 1e-4, err[soft].max()
+    assert err[low].max() <= 15.0 + 1e-3, err[low].max()
+    assert err[high].max() <= 31.4 + 1e-2, err[high].max()
+    # windowed-value bounds (window contract: reference transforms.py:8-36)
+    vol = clamped[: 27 * 27 * 27].reshape(27, 27, 27)
+    volq = back[: 27 * 27 * 27].reshape(27, 27, 27)
+    w_exact = window_stack(vol, 3)
+    w_q = window_stack(volq, 3)
+    derr = np.abs(w_q - w_exact).reshape(3, -1).max(axis=1)
+    assert derr[0] <= 0.5 / 80 + 1e-6, derr    # brain (40, 80)
+    assert derr[1] <= 0.5 / 200 + 1e-6, derr   # subdural (80, 200)
+    assert derr[2] <= 31.4 / 2800 + 1e-6, derr  # bone (600, 2800)
+
+
+def test_hu8_placeholder_windows_to_zero():
+    from headct_foundation_tpu.data.transforms import (
+        HU8_PLACEHOLDER,
+        hu8_window_stack,
+    )
+
+    q = np.full((1, 3, 3, 3), HU8_PLACEHOLDER, np.uint8)
+    for ch in (1, 3):
+        np.testing.assert_array_equal(
+            hu8_window_stack(q, ch), np.zeros((ch, 3, 3, 3), np.float32)
+        )
+
+
+def test_device_hu8_window_matches_host():
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.data.device_preprocess import device_hu8_window
+    from headct_foundation_tpu.data.transforms import hu8_window_stack
+
+    rng = np.random.RandomState(5)
+    q = rng.randint(0, 256, size=(2, 1, 4, 4, 4)).astype(np.uint8)
+    for ch in (1, 3):
+        dev = np.asarray(device_hu8_window(jnp.asarray(q), ch))
+        host = np.stack([hu8_window_stack(q[b], ch) for b in range(2)])
+        np.testing.assert_allclose(dev, host, atol=1e-6)
+        assert dev.min() >= 0.0 and dev.max() <= 1.0
+
+
+def test_disk_cache_hu8(tmp_path):
+    from headct_foundation_tpu.data.datasets import DiskCache
+    from headct_foundation_tpu.data.transforms import (
+        HU8_PLACEHOLDER,
+        hu8_window_stack,
+        load_and_preprocess_hu16,
+    )
+
+    roi = (12, 12, 12)
+    p = _synth_scan(tmp_path, shape=(20, 20, 20))
+    cache8 = DiskCache(str(tmp_path / "c"), roi, 3, wire="hu8")
+    cache16 = DiskCache(str(tmp_path / "c"), roi, 3, wire="hu16")
+    assert cache8._key(p) != cache16._key(p)  # formats never cross-serve
+    assert cache8.wire_shape == (1, *roi)
+    v = cache8.load(p)
+    assert v.shape == (1, *roi) and v.dtype == np.uint8
+    np.testing.assert_array_equal(v, cache8.load(p))  # cached hit
+    ph = cache8.placeholder()
+    assert ph.dtype == np.uint8 and (ph == HU8_PLACEHOLDER).all()
+    # windowed values agree with the exact float chain within the hu8
+    # precision contract per channel
+    exact = hu16_window_stack(load_and_preprocess_hu16(p, roi), 3)
+    got = hu8_window_stack(v, 3)
+    derr = np.abs(got - exact).reshape(3, -1).max(axis=1)
+    assert derr[0] <= 0.5 / 80 + 1e-4, derr
+    assert derr[1] <= 0.5 / 200 + 1e-4, derr
+    assert derr[2] <= 31.4 / 2800 + 1e-4, derr
+
+
+def test_mae_train_step_hu8_close_to_windowed():
+    """The jitted MAE step fed an hu8 batch computes a loss within the
+    documented lossy tolerance of the fp16-windowed path (same rng -> same
+    mask/augs; inputs differ by <= 1.2e-2 per voxel in windowed units)."""
+    import jax
+    import jax.numpy as jnp
+
+    from headct_foundation_tpu.config import default_config
+    from headct_foundation_tpu.data.transforms import hu8_encode
+    from headct_foundation_tpu.engines import mae_engine
+    from headct_foundation_tpu.parallel.mesh import make_mesh
+
+    cfg = default_config()
+    cfg.MODEL.ROI = [24, 24, 24]
+    cfg.MAE.INPUT_SIZE = 24
+    cfg.MAE.PATCH_SIZE = 12
+    cfg.MAE.IN_CHANS = 3
+    cfg.MAE.ENCODER_DEPTH = 1
+    cfg.MAE.DECODER_DEPTH = 1
+    cfg.MAE.ENCODER_EMBED_DIM = 48
+    cfg.MAE.ENCODER_MLP_DIM = 96
+    cfg.MAE.ENCODER_NUM_HEADS = 4
+    cfg.MAE.DECODER_EMBED_DIM = 48
+    cfg.MAE.DECODER_MLP_DIM = 96
+    cfg.MAE.DECODER_NUM_HEADS = 4
+    cfg.TRAIN.GRAD_CLIP = 0.0
+
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    rng = jax.random.PRNGKey(0)
+    state, _, _ = mae_engine.create_train_state(
+        cfg, mesh, rng, total_steps=10, num_warmup_steps=1
+    )
+
+    hu = np.round(
+        np.random.RandomState(0).rand(2, 1, 24, 24, 24) * 2800 - 800
+    ).astype(np.float32)
+    q8 = hu8_encode(hu)
+    windowed = np.stack(
+        [window_stack(hu[b, 0], 3) for b in range(2)]
+    ).astype(np.float16)
+
+    cfg8 = cfg.clone()
+    cfg8.DATA.WIRE_FORMAT = "hu8"
+    step8 = mae_engine.make_train_step(mesh, augment=True, config=cfg8)
+    step_w = mae_engine.make_train_step(mesh, augment=True, config=cfg)
+
+    state2 = jax.tree.map(jnp.copy, state)  # steps donate their state arg
+    _, m8 = step8(state, jnp.asarray(q8), rng)
+    _, m_w = step_w(state2, jnp.asarray(windowed), rng)
+    l8, l_w = float(m8["loss"]), float(m_w["loss"])
+    assert np.isfinite(l8) and np.isfinite(l_w)
+    assert abs(l8 - l_w) <= 5e-2 * max(1.0, abs(l_w)), (l8, l_w)

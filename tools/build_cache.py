@@ -53,11 +53,14 @@ def main() -> None:
                          "pack_*.bin + pack_index*.json): the steady-state "
                          "loader then does zero per-volume file opens")
     ap.add_argument("--volumes-per-shard", type=int, default=512)
-    ap.add_argument("--wire", choices=("windowed", "hu16"), default="windowed",
+    ap.add_argument("--wire", choices=("windowed", "hu16", "hu8"),
+                    default="windowed",
                     help="cache tensor format: 'windowed' fp16 [C, roi] "
-                         "(reference parity) or 'hu16' int16 [1, roi] "
+                         "(reference parity); 'hu16' int16 [1, roi] "
                          "fixed-point HU (3x fewer wire bytes; the engines "
-                         "window on device — set DATA.WIRE_FORMAT: hu16)")
+                         "window on device — set DATA.WIRE_FORMAT: hu16); "
+                         "'hu8' uint8 companded HU (6x, opt-in lossy — see "
+                         "data/transforms.py hu8 notes)")
     args = ap.parse_args()
     if args.device:
         os.environ["HEADCT_DEVICE_CACHE"] = "1"
@@ -87,7 +90,9 @@ def main() -> None:
         packer = PackedCacheWriter(
             args.cache_dir, cache.wire_shape,
             volumes_per_shard=args.volumes_per_shard, tag=tag,
-            dtype=_np.int16 if args.wire == "hu16" else _np.float16,
+            dtype={"hu16": _np.int16, "hu8": _np.uint8}.get(
+                args.wire, _np.float16
+            ),
         )
         # incremental rebuild: entries carried over from an existing
         # same-tag index are already packed — don't re-copy them
