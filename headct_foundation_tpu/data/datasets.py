@@ -571,6 +571,8 @@ class ThreadedLoader:
       time at the epoch boundary doubles as loading time for the next epoch.
     """
 
+    _cap_logged = False  # one worker-cap notice per process
+
     def __init__(
         self,
         dataset: Any,
@@ -593,6 +595,17 @@ class ThreadedLoader:
         if cap <= 0:
             cap = 4 * (os.cpu_count() or 1)
         self.num_workers = max(1, min(num_workers, cap))
+        if self.num_workers < num_workers:
+            # one line per process, not per loader — callers asking for more
+            # threads than the cap should know they got fewer, and how to
+            # override (HEADCT_LOADER_MAX_WORKERS)
+            if not ThreadedLoader._cap_logged:
+                ThreadedLoader._cap_logged = True
+                logging.getLogger("headct_foundation_tpu.data").info(
+                    "ThreadedLoader: capping num_workers %d -> %d "
+                    "(4 threads/core; set HEADCT_LOADER_MAX_WORKERS to "
+                    "override)", num_workers, self.num_workers,
+                )
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0

@@ -376,6 +376,16 @@ class _NativeCheckpointUnpickler:
         # _frombuffer instead of _reconstruct
         ("numpy.core.numeric", "_frombuffer"),
         ("numpy._core.numeric", "_frombuffer"),
+        # numpy arrays of the ML scalar dtypes (bfloat16 params saved by a
+        # mixed-precision run) pickle through the ml_dtypes scalar classes —
+        # dtype singletons, safe to resolve, and required so a legitimate
+        # bf16-leaf native checkpoint isn't misrouted to the torch loader
+        ("ml_dtypes", "bfloat16"),
+        ("ml_dtypes", "float8_e4m3fn"),
+        ("ml_dtypes", "float8_e5m2"),
+        ("ml_dtypes", "float8_e4m3b11fnuz"),
+        ("ml_dtypes", "int4"),
+        ("ml_dtypes", "uint4"),
     }
 
     @classmethod
@@ -412,6 +422,10 @@ def _classify_checkpoint(path: str):
         head = f.read(4)
     if head[:2] == b"PK":
         return True, None
+    import logging
+    import pickle
+
+    log = logging.getLogger("headct_foundation_tpu.checkpoint")
     try:
         with open(path, "rb") as f:
             payload = _NativeCheckpointUnpickler.load(f)
@@ -420,7 +434,20 @@ def _classify_checkpoint(path: str):
             or isinstance(payload.get("state_dict"), dict)
         )
         return (False, payload) if ours else (True, None)
-    except Exception:
+    except pickle.UnpicklingError as e:
+        # A global outside the safe set — torch checkpoints hit this on
+        # their storage reconstructors. Log WHICH global decided the
+        # routing so a legitimate native checkpoint with an unexpected
+        # leaf type is diagnosable instead of silently torch-routed.
+        log.info("classify_checkpoint: %s routed to the torch loader (%s)",
+                 path, e)
+        return True, None
+    except Exception as e:
+        # Not an unpickling rejection: truncated/corrupt file or IO error.
+        # Still routed to the torch loader (its errors are descriptive),
+        # but flagged louder — this is NOT the known torch-vs-native case.
+        log.warning("classify_checkpoint: probe of %s failed with %s: %s — "
+                    "treating as a torch checkpoint", path, type(e).__name__, e)
         return True, None
 
 
