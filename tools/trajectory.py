@@ -115,7 +115,7 @@ def make_object_pool(n: int, in_chans: int, roi: int, seed: int = 0):
 
 
 def make_class_pool(n: int, in_chans: int, roi: int, k_classes: int = 8,
-                    seed: int = 0) -> np.ndarray:
+                    seed: int = 0, class_seed: int = None) -> np.ndarray:
     """DINO positive-control corpus: K latent classes with CROP-INVARIANT
     texture signatures, so self-distillation has real signal to descend on.
 
@@ -138,10 +138,16 @@ def make_class_pool(n: int, in_chans: int, roi: int, k_classes: int = 8,
     # counts in 2..6 cycles/volume survive both the 'area' local-crop resize
     # (64^3 -> 96^3 in the flagship recipe => x1.5 frequency scaling between
     # views, which DINO must — and does — learn invariance to) and the
-    # windowed fp16 wire format
+    # windowed fp16 wire format.
+    # class_seed decouples the CLASS SIGNATURES from the instance draws:
+    # pools built with the same class_seed but different seeds share classes
+    # while containing fresh samples — required by the transfer study
+    # (pretrain corpus / probe train / probe val / retrieval corpus).
+    if class_seed is None:
+        class_seed = seed
     gratings = []
     for k in range(k_classes):
-        r1 = np.random.RandomState(seed + 100 + k)
+        r1 = np.random.RandomState(class_seed + 100 + k)
         dirs = r1.randn(2, 3).astype(np.float32)
         dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
         freqs = 2.0 + r1.permutation(8)[:2].astype(np.float32) / 2.0  # 2..5.5
