@@ -209,8 +209,14 @@ def _default_config() -> CfgNode:
     # (see data/transforms.py hu16 notes + MIGRATION.md); 'hu8' = uint8
     # [1, roi] companded HU, 6x fewer bytes — OPT-IN lossy (soft-tissue
     # windows keep 1-HU steps, bone window coarsens to ~63 HU; bounds in
-    # data/transforms.py hu8 notes) for transport-starved mounts.
+    # data/transforms.py hu8 notes) for transport-starved mounts; 'auto' =
+    # probe the H2D bandwidth once at startup and pick hu8 below
+    # DATA.WIRE_AUTO_MBPS, hu16 otherwise (data/pipeline.resolve_wire_format).
     _C.DATA.WIRE_FORMAT = "windowed"
+    # 'auto' threshold: below this measured H2D MB/s the loader is
+    # transport-bound and hu8's halved bytes beat its precision cost
+    # (equivalence study: wire_equivalence.json)
+    _C.DATA.WIRE_AUTO_MBPS = 150.0
 
     # General model settings (reference: config.py:32-38)
     _C.MODEL = CfgNode()

@@ -80,6 +80,16 @@ def main(config, wandb_run, logger):
     )
 
     mesh = mesh_from_config(config)
+    # WIRE_FORMAT='auto': probe the H2D transport once and resolve to a
+    # concrete wire format before any loader/cache reads the key
+    # (data/pipeline.resolve_wire_format; threshold DATA.WIRE_AUTO_MBPS).
+    if str(config.DATA.WIRE_FORMAT) == "auto":
+        from headct_foundation_tpu.data.pipeline import resolve_wire_format
+
+        config.defrost()
+        config.DATA.WIRE_FORMAT = resolve_wire_format(config)
+        config.freeze()
+        logger.info(f"Resolved DATA.WIRE_FORMAT=auto -> {config.DATA.WIRE_FORMAT}")
     if config.DATA.FEW_SHOTS > 0:
         train_loader, val_loader, test_loader, class_weights = (
             get_fewshots_dataloaders(config)

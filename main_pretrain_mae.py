@@ -94,6 +94,16 @@ def main(config, wandb_run, logger):
     from headct_foundation_tpu.data.datasets import get_pretrain_dataloaders
 
     mesh = mesh_from_config(config)
+    # WIRE_FORMAT='auto': probe the H2D transport once and resolve to a
+    # concrete wire format before any loader/cache reads the key
+    # (data/pipeline.resolve_wire_format; threshold DATA.WIRE_AUTO_MBPS).
+    if str(config.DATA.WIRE_FORMAT) == "auto":
+        from headct_foundation_tpu.data.pipeline import resolve_wire_format
+
+        config.defrost()
+        config.DATA.WIRE_FORMAT = resolve_wire_format(config)
+        config.freeze()
+        logger.info(f"Resolved DATA.WIRE_FORMAT=auto -> {config.DATA.WIRE_FORMAT}")
     train_loader, val_loader, test_loader = get_pretrain_dataloaders(config)
 
     # LR scaling: base_lr x eff_batch / 256, min_lr = base_lr x 1e-3

@@ -244,3 +244,22 @@ def test_main_pretrain_mae_orbax_format_and_resume(tmp_path):
         REPO,
     )
     assert "merging params only" in result.stdout + result.stderr
+
+
+@pytest.mark.slow
+def test_main_pretrain_mae_wire_auto(tmp_path):
+    """DATA.WIRE_FORMAT=auto resolves to a concrete format from the probed
+    transport before any loader reads it, and the main trains through the
+    resolved wire end-to-end (CPU mesh: host transfer is fast -> hu16)."""
+    _make_dataset(tmp_path)
+    cfg = tmp_path / "mae_tiny.yaml"
+    cfg.write_text(_tiny_yaml(tmp_path, {"MAE": _TINY_MAE}))
+    result = _run(
+        [sys.executable, "main_pretrain_mae.py", "--cfg", str(cfg),
+         "--local_rank", "0", "--opts", "DATA.WIRE_FORMAT", "auto"],
+        REPO,
+    )
+    out = result.stdout + result.stderr
+    assert "Resolved DATA.WIRE_FORMAT=auto -> hu16" in out, out[-2000:]
+    saved = os.listdir(tmp_path / "model_saved")
+    assert any(f.startswith("latest_") for f in saved), saved

@@ -515,3 +515,36 @@ def test_hu16_vs_windowed_divergence_confined_to_window_boundaries(tmp_path):
     widths = np.array([80.0, 200.0, 2800.0])[:, None, None, None]
     bound = 0.5 / (HU16_SCALE * widths) + 2 ** -11 + 1e-5
     assert (np.abs(h2 - w2) <= bound).all(), float(np.abs(h2 - w2).max())
+
+
+def test_resolve_wire_format_auto_picks_by_bandwidth():
+    """DATA.WIRE_FORMAT='auto' resolves hu8 under a transport-starved
+    mount, hu16 over a fast one; literal formats pass through unprobed."""
+    from headct_foundation_tpu.config import default_config
+    from headct_foundation_tpu.data.pipeline import resolve_wire_format
+
+    cfg = default_config()
+    for literal in ("windowed", "hu16", "hu8"):
+        cfg.DATA.WIRE_FORMAT = literal
+        assert resolve_wire_format(cfg, probe_mbps=1.0) == literal
+
+    cfg.DATA.WIRE_FORMAT = "auto"
+    assert resolve_wire_format(cfg, probe_mbps=20.0) == "hu8"
+    assert resolve_wire_format(cfg, probe_mbps=149.9) == "hu8"
+    assert resolve_wire_format(cfg, probe_mbps=151.0) == "hu16"
+    assert resolve_wire_format(cfg, probe_mbps=8000.0) == "hu16"
+    # threshold is config-driven
+    cfg.DATA.WIRE_AUTO_MBPS = 10.0
+    assert resolve_wire_format(cfg, probe_mbps=20.0) == "hu16"
+    assert resolve_wire_format(cfg, probe_mbps=5.0) == "hu8"
+
+
+def test_resolve_wire_format_auto_probes_real_transport():
+    """With no injected probe, 'auto' measures the live backend and returns
+    a trainable format (CPU mesh: host 'transfer' is fast -> hu16)."""
+    from headct_foundation_tpu.config import default_config
+    from headct_foundation_tpu.data.pipeline import resolve_wire_format
+
+    cfg = default_config()
+    cfg.DATA.WIRE_FORMAT = "auto"
+    assert resolve_wire_format(cfg) in ("hu8", "hu16")

@@ -8,14 +8,14 @@ mechanism in isolation (MAE descends, probes learn, retrieval math is
 sklearn-checked); THIS tool composes them end-to-end and measures the thing
 that matters — that pretraining produces *useful representations*:
 
- 1. **Pretrain** the MAE on an UNLABELED corpus of K latent texture classes
-    (crop-invariant sinusoidal-grating signatures at random per-sample
-    phase, ``tools/trajectory.make_class_pool``). Random phases make the
-    classes invisible to any (approximately) linear functional of the
-    voxels: both classes' voxel distributions are symmetric with identical
-    low-order moments, so separating them requires phase-invariant
-    frequency/orientation ENERGY features — exactly what representation
-    learning is for, and what a random-init encoder does not compute.
+ 1. **Pretrain** the MAE on an UNLABELED corpus of K latent classes of
+    warped-template volumes (``make_template_class_pool`` — anatomy-like:
+    class-specific spatial arrangements, per-instance smooth warps +
+    noise). Corpus design is MEASURED-IN, not assumed: grating corpora
+    (``--corpus gratings``) are decoder-predictable from a few visible
+    patches, so MAE pretraining there buys the probe nothing (kept as the
+    documented negative); warped templates force the encoder into global
+    class/deformation inference, the same job anatomy gives it.
  2. **Checkpoint** the encoder, then **linear/attentive-probe** it frozen
     (TRAIN.LOCK, the reference's --freeze path) on class-0-vs-class-1 with
     an identically-budgeted, identically-seeded probe from a RANDOM-init
@@ -537,6 +537,8 @@ def main():
     ap.add_argument("--no-assert", action="store_true")
     ap.add_argument("--margin", type=float, default=0.1,
                     help="required pretrained-minus-random margin (AUROC & mAP)")
+    ap.add_argument("--min-auroc", type=float, default=0.7,
+                    help="required pretrained-probe best val AUROC")
     ap.add_argument("--delta-deg", type=float, default=15.0,
                     help="class orientation separation (degrees, gratings)")
     ap.add_argument("--noise", type=float, default=0.08,
@@ -691,7 +693,8 @@ def main():
             f"pretrained {retr['pretrained']['mean_map']:.3f} vs "
             f"random {retr['random']['mean_map']:.3f}"
         )
-        assert probe["pretrained"]["best_val_auroc"] > 0.8, probe["pretrained"]
+        assert probe["pretrained"]["best_val_auroc"] > args.min_auroc, (
+            probe["pretrained"], args.min_auroc)
         print("transfer assertions PASSED: pretraining produces useful "
               "representations")
 
