@@ -301,11 +301,20 @@ def main():
     save_png(result, prefix + ".png")
     best = max(r["max_acc"] for r in runs)
     result["semantics_emerged"] = bool(best > 1 / K_DATA + 0.15)
+    # distinguish EMERGED from RETAINED: at long horizons the toy-scale
+    # teacher's class structure peaks mid-run and then erodes as the
+    # centering force re-wins through the EMA (the same meta-stability the
+    # loss artifacts show) — final_acc can sit near chance while max_acc
+    # is 2x chance. Both facts belong in the artifact.
+    result["retained_at_end"] = bool(
+        runs[-1]["final_acc"] > 1 / K_DATA + 0.1
+    )
     with open(prefix + ".json.tmp", "w") as f:
         json.dump(result, f, indent=1)
     os.replace(prefix + ".json.tmp", prefix + ".json")
     print(json.dumps({
         "semantics_emerged": result["semantics_emerged"],
+        "retained_at_end": result["retained_at_end"],
         "best_centroid_acc": best,
         "chance": 1 / K_DATA,
         "per_run_final": [(r["total_steps"], r["final_acc"]) for r in runs],
