@@ -539,6 +539,13 @@ def main():
                     help="required pretrained-minus-random margin (AUROC & mAP)")
     ap.add_argument("--min-auroc", type=float, default=0.7,
                     help="required pretrained-probe best val AUROC")
+    ap.add_argument("--reuse-ckpt", default=None,
+                    help="skip pretraining and probe from this checkpoint "
+                    "(e.g. a prior run's transfer_mae.ckpt)")
+    ap.add_argument("--probe-noise", type=float, default=None,
+                    help="voxel noise for the probe/retrieval pools only "
+                    "(default: --noise). Raising it measures feature "
+                    "ROBUSTNESS: the encoder saw --noise during pretraining")
     ap.add_argument("--delta-deg", type=float, default=15.0,
                     help="class orientation separation (degrees, gratings)")
     ap.add_argument("--noise", type=float, default=0.08,
@@ -590,36 +597,43 @@ def main():
           f"noise={args.noise})", flush=True)
     import functools
 
+    gen = {"templates": make_template_class_pool,
+           "gratings": make_hard_class_pool}[args.corpus]
     mk_kw = {"noise": args.noise, "delta_deg": args.delta_deg}
     if args.corpus == "templates":
         mk_kw["warp"] = args.warp
-    mk = functools.partial(
-        {"templates": make_template_class_pool,
-         "gratings": make_hard_class_pool}[args.corpus],
-        **mk_kw,
+    mk = functools.partial(gen, **mk_kw)
+    mk_probe = functools.partial(
+        gen, **{**mk_kw, "noise": (args.probe_noise if args.probe_noise
+                                   is not None else args.noise)},
     )
     pre_pool = mk(pool_n, in_chans, roi, k_classes=K_CLASSES, seed=0,
                   class_seed=0)
     n_probe_tr, n_probe_val, n_retr = (32, 64, 96) if tiny else (32, 96, 128)
     n_probe_tr = args.probe_train or n_probe_tr
-    probe_tr = mk(n_probe_tr, in_chans, roi, k_classes=2, seed=1, class_seed=0)
+    probe_tr = mk_probe(n_probe_tr, in_chans, roi, k_classes=2, seed=1,
+                        class_seed=0)
     probe_tr_y = (np.arange(n_probe_tr) % 2).astype(np.int32)
-    probe_val = mk(n_probe_val, in_chans, roi, k_classes=2, seed=2,
-                   class_seed=0)
+    probe_val = mk_probe(n_probe_val, in_chans, roi, k_classes=2, seed=2,
+                         class_seed=0)
     probe_val_y = (np.arange(n_probe_val) % 2).astype(np.int32)
-    retr_pool = mk(n_retr, in_chans, roi, k_classes=K_CLASSES, seed=3,
-                   class_seed=0)
+    retr_pool = mk_probe(n_retr, in_chans, roi, k_classes=K_CLASSES, seed=3,
+                         class_seed=0)
     retr_y = (np.arange(n_retr) % K_CLASSES).astype(np.int32)
 
     out_dir = args.out_prefix and os.path.dirname(args.out_prefix) or repo_root
-    print(f"[transfer] pretraining MAE: {pre_epochs}x{pre_steps} steps "
-          f"@ batch {pre_batch}", flush=True)
-    ckpt, pre_losses = pretrain_mae(
-        mae_cfg, mesh, rng, pre_pool, pre_epochs, pre_steps, pre_batch,
-        out_dir, device_pool=args.device_pool,
-    )
-    print(f"[transfer] pretrain loss {pre_losses[0]:.4f} -> "
-          f"{np.mean(pre_losses[-10:]):.4f}; ckpt {ckpt}", flush=True)
+    if args.reuse_ckpt:
+        ckpt, pre_losses = args.reuse_ckpt, [float("nan")]
+        print(f"[transfer] reusing checkpoint {ckpt}", flush=True)
+    else:
+        print(f"[transfer] pretraining MAE: {pre_epochs}x{pre_steps} steps "
+              f"@ batch {pre_batch}", flush=True)
+        ckpt, pre_losses = pretrain_mae(
+            mae_cfg, mesh, rng, pre_pool, pre_epochs, pre_steps, pre_batch,
+            out_dir, device_pool=args.device_pool,
+        )
+        print(f"[transfer] pretrain loss {pre_losses[0]:.4f} -> "
+              f"{np.mean(pre_losses[-10:]):.4f}; ckpt {ckpt}", flush=True)
 
     retr_dev = None
     if args.device_pool:
@@ -661,6 +675,9 @@ def main():
             "losses": [round(l, 5) for l in pre_losses],
         },
         "probe": probe,
+        "probe_noise": (args.probe_noise if args.probe_noise is not None
+                        else args.noise),
+        "probe_train_shots": n_probe_tr,
         "retrieval": retr,
         "auroc_margin": round(
             probe["pretrained"]["best_val_auroc"]
