@@ -55,7 +55,15 @@ def resolve_wire_format(config, probe_mbps: Optional[float] = None) -> str:
     could feed the ~450 MB/s the compute step consumes at hu16), the loader
     is transport-bound and ``hu8`` (half the bytes, documented-lossy: worst
     window error 1.2e-2, ~10x below the training augmentation's intensity
-    jitter) roughly doubles sustained throughput; above it, stay hu16."""
+    jitter) roughly doubles sustained throughput; above it, stay hu16.
+
+    Scope: the wire format is read ONLY by training loaders/caches and the
+    jitted train/eval steps' window expansion. The measured basis for
+    letting auto pick hu8 there is TRAINING-level equivalence (300-step
+    flagship A/B: mean relative |Δloss| 4.4e-5 — wire_equivalence.json).
+    Feature-level hu8-vs-hu16 cosine FAILS the 0.999 parity bar (0.80-0.91
+    measured) — which is why hu8 is never used on the inference path (the
+    feature extractor ships lossless int16 HU) and never a global default."""
     wire = str(getattr(config.DATA, "WIRE_FORMAT", "windowed"))
     if wire != "auto":
         return wire
