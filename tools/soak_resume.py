@@ -152,8 +152,13 @@ def main():
 
     # ---- phase 1: run until mid-epoch K+1, then SIGKILL (no cleanup)
     proc = launch(args.out, args.data_root, args.epochs, args.batch)
-    ckpt = os.path.join(args.out, "model_saved", "latest_debug.pt")
-    kill_marker = f"Epoch {args.kill_after_epoch + 1}/"
+
+    def _latest_ckpt():
+        # checkpoint name follows MODEL.SAVE_NAME (latest_mae_headct.ckpt
+        # for the flagship yaml) — discover it, don't assume
+        c = glob.glob(os.path.join(args.out, "model_saved", "latest_*"))
+        return c[0] if c else None
+
     killed_at = None
     while True:
         if proc.poll() is not None:
@@ -163,9 +168,10 @@ def main():
             )
         rows = parse_steps(args.out)
         in_next = [r for r in rows if r[0] == args.kill_after_epoch + 1]
+        ckpt = _latest_ckpt()
         # kill only after the target epoch's checkpoint exists AND the next
         # epoch has logged a few steps (mid-epoch kill, not boundary kill)
-        if os.path.exists(ckpt) and len(in_next) >= 5:
+        if ckpt and len(in_next) >= 5:
             killed_at = rows[-1]
             proc.send_signal(signal.SIGKILL)
             proc.wait()
